@@ -1,0 +1,318 @@
+"""Typed configuration system.
+
+Unifies the reference's two config sources into one typed tree
+(cf. SURVEY.md section 5 "Config / flag system"):
+
+- the per-dataset YAML files parsed with ``cv::FileStorage``
+  (reference ``src/Tracking.cc:46-145``, ``Examples/Monocular/TUM1.yaml``), and
+- the algorithm constants hard-coded in reference source (chi2 thresholds
+  ``src/Optimizer.cc:85-86``, matcher thresholds ``src/ORBmatcher.cc:37-39``,
+  covisibility weight ``src/KeyFrame.cc:330``, CARV constants
+  ``src/Modeler/FreespaceDelaunayAlgorithm.h:57`` etc.).
+
+The numeric *behavior lore* (all the magic constants) is preserved here even
+where the TPU mechanism differs, because they materially affect trajectory
+accuracy (SURVEY.md section 7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + radial-tangential distortion camera.
+
+    Mirrors the ``Camera.*`` YAML block (reference ``src/Tracking.cc:50-116``).
+    """
+
+    fx: float = 517.306408
+    fy: float = 516.469215
+    cx: float = 318.643040
+    cy: float = 255.313989
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    bf: float = 0.0          # stereo baseline * fx (reference "Camera.bf")
+    rgb: bool = True         # input channel order flag (reference "Camera.RGB")
+    th_depth: float = 40.0   # close/far stereo point threshold (reference "ThDepth")
+    depth_map_factor: float = 5000.0  # RGB-D depth scaling ("DepthMapFactor")
+
+    @property
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+    @property
+    def dist_coeffs(self):
+        import numpy as np
+
+        return np.array([self.k1, self.k2, self.p1, self.p2, self.k3], dtype=np.float32)
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(c) > 0 for c in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """Feature front-end budget (reference ``ORBextractor.*`` YAML block).
+
+    ``n_features_pad`` is the TPU fixed capacity the frontend pads keypoint
+    arrays to (static shapes under jit); the extractor still targets
+    ``n_features`` live detections like the reference quadtree budget
+    (reference ``src/ORBextractor.cc:435-446``).
+    """
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    init_multiplier: int = 2   # 2x features during monocular init (Tracking.cc:122-123)
+    n_features_pad: int = 1024
+    cell_size: int = 32        # detection cell; reference uses 30px cells (:769)
+    edge_threshold: int = 19   # border for descriptor support (ORBextractor.cc:1043)
+
+    @property
+    def scale_factors(self):
+        return [self.scale_factor ** i for i in range(self.n_levels)]
+
+    @property
+    def level_sigma2(self):
+        return [s * s for s in self.scale_factors]
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Hamming matcher thresholds (reference ``src/ORBmatcher.cc:37-39``)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 30    # rotation-consistency histogram bins
+    nn_ratio_tracking: float = 0.9
+    nn_ratio_bow: float = 0.75
+    search_radius_motion: float = 15.0
+    search_radius_init: float = 100.0
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking state machine + keyframe policy (reference ``src/Tracking.cc``)."""
+
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30        # defaults to fps (Tracking.cc:126)
+    min_matches_track: int = 10            # motion-model / refkf accept (:931, :806)
+    min_matches_track_localmap: int = 30   # TrackLocalMap accept (:977)
+    min_matches_after_reloc: int = 50      # stricter right after reloc (:973)
+    min_init_matches: int = 100            # monocular init gate (:615)
+    local_map_max_keyframes: int = 80      # covisibility expansion cap (:1293)
+    kf_min_ratio_refkf: float = 0.9        # c2: matches < 0.9*ref (:1052-1060)
+    reloc_max_candidates: int = 8
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local mapping stage (reference ``src/LocalMapping.cc``)."""
+
+    triangulation_neighbors: int = 20   # best covisible KFs for new points (:250)
+    fuse_neighbors: int = 20            # SearchInNeighbors 1-hop targets (:471)
+    cull_found_ratio: float = 0.25      # MapPointCulling (:195)
+    cull_min_obs_after: int = 3         # point must reach 3 obs by 2 KFs (:199-205)
+    kf_cull_redundancy: float = 0.9     # KeyFrameCulling 90% rule (:645-709)
+    covisibility_weight_min: int = 15   # covisibility edge threshold (KeyFrame.cc:330)
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing + relocalization (reference ``src/LoopClosing.cc``)."""
+
+    covisibility_consistency_th: int = 3   # consecutive-group consistency (:152)
+    min_bow_matches: int = 20              # per-candidate SearchByBoW gate (:281)
+    min_sim3_inliers: int = 20             # OptimizeSim3 accept (:330)
+    min_total_matches: int = 40            # final guided-projection accept (:394)
+    sim3_ransac_iterations: int = 5        # per-round iterate(5) (:300)
+    sim3_ransac_max_iterations: int = 300
+    vocab_words: int = 4096                # TPU BoW vocabulary size (replaces 1M DBoW2 tree)
+    vocab_seed: int = 7
+    min_score_ratio: float = 0.75          # accScore >= 0.75*best (KeyFrameDatabase.cc:183)
+    min_common_words_ratio: float = 0.8    # commonWords > 0.8*max (KeyFrameDatabase.cc:125)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Solver iteration budgets + robust thresholds (reference ``src/Optimizer.cc``).
+
+    chi2 values are the 95% quantiles for 2/3 DoF used as Huber deltas squared
+    (``Optimizer.cc:85-86,369-371``).
+    """
+
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    pose_rounds: int = 4
+    pose_iterations: int = 10
+    local_ba_iterations_a: int = 5
+    local_ba_iterations_b: int = 10
+    essential_graph_iterations: int = 20
+    gba_iterations_loop: int = 10
+    gba_iterations_init: int = 20
+    sim3_opt_iterations: int = 5   # OptimizeSim3 runs 5 then 10 more (:1203-1228)
+    lm_lambda_init: float = 1e-3
+    lm_lambda_factor: float = 10.0
+    essential_graph_min_feat: int = 100  # strong covisibility edges (Optimizer.cc:819)
+
+
+@dataclass(frozen=True)
+class CarvingConfig:
+    """Free-space carving stage.
+
+    Semantics preserved from the reference CARV core
+    (``src/Modeler/FreespaceDelaunayAlgorithm.{h,cc}``): visibility rays carve
+    free space; the surface separates carved (outside) from uncarved (inside)
+    cells; a min-cut with weak area smoothing (lambda=0.05, ``.cc:1579``)
+    regularizes it; the bounding volume is 10x the data extent (``.cc:775-830``);
+    mesh extraction is throttled (``SFMTranscriptInterface_Delaunay.cpp:404``).
+
+    The TPU discretization is a dense voxel vote grid carved by batched
+    ray-marching (primary) with an optional host Delaunay topology oracle.
+    """
+
+    grid_resolution: int = 128
+    bounds_scale: float = 2.0          # voxel grid extent vs data extent
+    ray_samples: int = 96              # samples per carving ray
+    lambda_smooth: float = 0.05
+    free_vote_threshold: float = 0.5   # vote>0 in reference; soft for voxels
+    mesh_interval_s: float = 5.0       # isosurface recompute throttle
+    mrf_iterations: int = 32           # parallel min-cut relaxation sweeps
+    constraint_k: int = 1              # K=1 spatial-cover forgetting heuristic
+    max_rays_per_kf: int = 1024
+    use_delaunay_oracle: bool = False  # host scipy Delaunay + batched tet voting
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed TPU array capacities (static shapes under jit).
+
+    The reference's dynamically sized map (``std::set`` registries,
+    ``src/Map.cc``) becomes fixed-capacity device arrays + validity masks with
+    a host-side slot allocator.
+    """
+
+    max_keyframes: int = 512
+    max_points: int = 65536
+    max_obs_per_point: int = 32
+    local_ba_window: int = 16          # optimized KFs per local BA
+    local_ba_fixed: int = 8            # fixed anchor KFs
+    local_ba_points: int = 8192
+    local_ba_obs: int = 16384
+    reloc_candidates: int = 8
+    loop_candidates: int = 8
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Aggregate config: the single source of truth for an engine instance."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    carving: CarvingConfig = field(default_factory=CarvingConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    sensor: str = "monocular"          # monocular | stereo | rgbd
+    deterministic: bool = False        # run pipeline stages inline (for tests)
+    use_viewer: bool = False
+    seed: int = 0
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Reference-format YAML settings loader
+# ---------------------------------------------------------------------------
+
+_OPENCV_YAML_HEADER = re.compile(r"^%YAML[:\s].*$", re.MULTILINE)
+
+
+def _load_opencv_yaml(path: str) -> dict:
+    """Parse a cv::FileStorage YAML file (reference settings format).
+
+    The reference files start with ``%YAML:1.0`` which PyYAML rejects, and may
+    contain ``!!opencv-matrix`` tags; both are stripped/ignored.
+    """
+    import yaml
+
+    with open(path, "r") as f:
+        text = f.read()
+    text = _OPENCV_YAML_HEADER.sub("", text)
+    text = text.replace("!!opencv-matrix", "")
+    return yaml.safe_load(text) or {}
+
+
+def load_settings(path: Optional[str] = None, sensor: str = "monocular", **overrides) -> SystemConfig:
+    """Build a :class:`SystemConfig` from a reference-format YAML settings file.
+
+    Mirrors the settings consumed in reference ``src/Tracking.cc:46-145``:
+    ``Camera.{fx,fy,cx,cy,k1,k2,p1,p2,k3,bf,fps,RGB}``,
+    ``ORBextractor.{nFeatures,scaleFactor,nLevels,iniThFAST,minThFAST}``,
+    ``ThDepth``, ``DepthMapFactor``.
+    """
+    cfg = SystemConfig(sensor=sensor)
+    if path is not None:
+        d = _load_opencv_yaml(path)
+
+        def g(key, default):
+            v = d.get(key, default)
+            return default if v is None else v
+
+        cam = CameraConfig(
+            fx=float(g("Camera.fx", 517.3)),
+            fy=float(g("Camera.fy", 516.5)),
+            cx=float(g("Camera.cx", 318.6)),
+            cy=float(g("Camera.cy", 255.3)),
+            k1=float(g("Camera.k1", 0.0)),
+            k2=float(g("Camera.k2", 0.0)),
+            p1=float(g("Camera.p1", 0.0)),
+            p2=float(g("Camera.p2", 0.0)),
+            k3=float(g("Camera.k3", 0.0)),
+            width=int(g("Camera.width", 640)),
+            height=int(g("Camera.height", 480)),
+            fps=float(g("Camera.fps", 30.0)) or 30.0,
+            bf=float(g("Camera.bf", 0.0)),
+            rgb=bool(int(g("Camera.RGB", 1))),
+            th_depth=float(g("ThDepth", 40.0)),
+            depth_map_factor=float(g("DepthMapFactor", 5000.0)),
+        )
+        n_feat = int(g("ORBextractor.nFeatures", 1000))
+        orb = ORBConfig(
+            n_features=n_feat,
+            scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
+            n_levels=int(g("ORBextractor.nLevels", 8)),
+            ini_th_fast=int(g("ORBextractor.iniThFAST", 20)),
+            min_th_fast=int(g("ORBextractor.minThFAST", 7)),
+            n_features_pad=1 << max(8, math.ceil(math.log2(max(n_feat, 1)))),
+        )
+        fps = cam.fps
+        tracking = TrackingConfig(max_frames_between_kf=int(fps))
+        cfg = SystemConfig(camera=cam, orb=orb, tracking=tracking, sensor=sensor)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

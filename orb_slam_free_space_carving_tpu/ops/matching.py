@@ -1,0 +1,178 @@
+"""Batched binary descriptor matching.
+
+TPU re-design of ``ORBmatcher`` (reference ``src/ORBmatcher.cc``): instead of
+per-candidate popcount loops (``DescriptorDistance`` ``:1647-1663``) inside
+nested searches, every matcher variant is one dense Hamming-distance MATRIX
+with candidate masks, computed on the MXU via the bit-matmul identity
+
+    hamming(a, b) = popcnt(a) + popcnt(b) - 2 * <bits_a, bits_b>
+
+so a full N x M match costs one [N,256]x[256,M] matmul.  The reference's
+search-window / scale / rotation-consistency / ratio gates become masks and
+row-reductions.  Thresholds TH_LOW=50 / TH_HIGH=100 / HISTO=30 preserved
+(``ORBmatcher.cc:37-39``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_free_space_carving_tpu.ops.orb import unpack_bits
+
+BIG = jnp.float32(1e9)
+
+
+def hamming_matrix(desc_a_u8: jnp.ndarray, desc_b_u8: jnp.ndarray,
+                   dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dense Hamming distances [N,M] from packed descriptors [N,32],[M,32]."""
+    a = unpack_bits(desc_a_u8, dtype)
+    b = unpack_bits(desc_b_u8, dtype)
+    pa = jnp.sum(a, axis=-1, dtype=jnp.float32)
+    pb = jnp.sum(b, axis=-1, dtype=jnp.float32)
+    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return pa[:, None] + pb[None, :] - 2.0 * cross
+
+
+def masked_match(dist: jnp.ndarray, mask: jnp.ndarray,
+                 max_dist: float = 50.0, ratio: float | None = None):
+    """Row-wise best match under a candidate mask.
+
+    Returns (best_idx[N] int32 with -1 for no-match, best_dist[N]).
+    Implements the shared accept logic of the SearchBy* family: best distance
+    under threshold, optional Lowe ratio vs the second best
+    (``ORBmatcher.cc:45-129`` and friends).
+    """
+    d = jnp.where(mask, dist, BIG)
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    ok = best <= max_dist
+    if ratio is not None:
+        d2 = jnp.where(
+            jax.nn.one_hot(best_idx, d.shape[1], dtype=jnp.bool_), BIG, d
+        )
+        second = jnp.min(d2, axis=1)
+        ok = ok & (best <= ratio * second)
+    return jnp.where(ok, best_idx, -1), best
+
+
+def mutual_filter(idx_ab: jnp.ndarray, dist: jnp.ndarray, mask: jnp.ndarray,
+                  max_dist: float) -> jnp.ndarray:
+    """Keep a->b matches that are also b's best a (cross-check).
+
+    Equivalent to the duplicate-suppression the reference does by tracking
+    per-target best distance (e.g. ``SearchForInitialization``
+    ``ORBmatcher.cc:405-520`` rotation+best bookkeeping).
+    """
+    d = jnp.where(mask, dist, BIG)
+    best_for_b = jnp.argmin(d, axis=0).astype(jnp.int32)  # [M]
+    n = idx_ab.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    sel = jnp.clip(idx_ab, 0, d.shape[1] - 1)
+    reciprocal = best_for_b[sel] == rows
+    return jnp.where((idx_ab >= 0) & reciprocal, idx_ab, -1)
+
+
+def rotation_consistency(idx: jnp.ndarray, angle_a: jnp.ndarray,
+                         angle_b: jnp.ndarray, histo_length: int = 30,
+                         keep_bins: int = 3) -> jnp.ndarray:
+    """Keep only matches in the 3 dominant rotation-difference bins.
+
+    Vectorized ``ComputeThreeMaxima`` + histogram check
+    (``ORBmatcher.cc:1601-1642``).  ``idx`` maps a->b with -1 invalid.
+    """
+    valid = idx >= 0
+    sel = jnp.clip(idx, 0, angle_b.shape[0] - 1)
+    rot = angle_a - angle_b[sel]
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(rot, two_pi)  # [0, 2pi)
+    bins = jnp.clip(
+        (rot * (histo_length / two_pi)).astype(jnp.int32), 0, histo_length - 1
+    )
+    hist = jnp.sum(
+        jax.nn.one_hot(bins, histo_length, dtype=jnp.float32)
+        * valid[:, None].astype(jnp.float32),
+        axis=0,
+    )
+    top_vals, top_idx = jax.lax.top_k(hist, keep_bins)
+    # Reference drops bins 2,3 if they fall below 10% of the max (:1630-1640).
+    keep_mask = top_vals >= 0.1 * top_vals[0]
+    allowed = jnp.zeros((histo_length,), jnp.bool_)
+    allowed = allowed.at[top_idx].set(keep_mask)
+    return jnp.where(valid & allowed[bins], idx, -1)
+
+
+def window_mask(uv_a: jnp.ndarray, uv_b: jnp.ndarray, radius,
+                valid_a=None, valid_b=None) -> jnp.ndarray:
+    """[N,M] mask: b within an L-inf window around a's (projected) position.
+
+    ``radius`` is scalar or per-row [N] (scale-dependent radii, as in
+    ``SearchByProjection`` th*scaleFactor^level, ``ORBmatcher.cc:1395-``).
+    """
+    dx = jnp.abs(uv_a[:, None, 0] - uv_b[None, :, 0])
+    dy = jnp.abs(uv_a[:, None, 1] - uv_b[None, :, 1])
+    r = jnp.asarray(radius)
+    if r.ndim == 1:
+        r = r[:, None]
+    m = (dx <= r) & (dy <= r)
+    if valid_a is not None:
+        m = m & valid_a[:, None]
+    if valid_b is not None:
+        m = m & valid_b[None, :]
+    return m
+
+
+def octave_mask(oct_a: jnp.ndarray, oct_b: jnp.ndarray,
+                min_delta: int = -1, max_delta: int = 1) -> jnp.ndarray:
+    """[N,M] mask on pyramid-level agreement (scale consistency checks, e.g.
+    ``SearchByProjection`` level windows)."""
+    d = oct_b[None, :] - oct_a[:, None]
+    return (d >= min_delta) & (d <= max_delta)
+
+
+def search_for_initialization(feat_a, feat_b, window: float = 100.0,
+                              max_dist: float = 50.0, ratio: float = 0.9,
+                              histo_length: int = 30):
+    """Two-view bootstrap matching (``SearchForInitialization``
+    ``ORBmatcher.cc:405-520``): level-0 features, spatial window around the
+    same location, ratio test, mutual check, rotation consistency.
+
+    Returns idx[N] into feat_b (-1 = unmatched).
+    """
+    dist = hamming_matrix(feat_a.desc, feat_b.desc)
+    mask = window_mask(feat_a.uv_und, feat_b.uv_und, window,
+                       feat_a.valid, feat_b.valid)
+    mask = mask & (feat_a.octave[:, None] == 0) & (feat_b.octave[None, :] == 0)
+    idx, _ = masked_match(dist, mask, max_dist=max_dist, ratio=ratio)
+    idx = mutual_filter(idx, dist, mask, max_dist)
+    idx = rotation_consistency(idx, feat_a.angle, feat_b.angle, histo_length)
+    return idx
+
+
+def search_by_projection_points(uv_proj, pred_octave, point_desc, point_valid,
+                                feat, radius_base: float, scale_factor: float,
+                                max_dist: float = 50.0, ratio: float | None = 0.8,
+                                octave_window=(-1, 1)):
+    """Match projected map points against frame features
+    (frame-vs-localmap ``ORBmatcher.cc:45-129`` / frame-vs-lastframe ``:1328-``).
+
+    uv_proj[P,2]: predicted pixel positions of P map points; pred_octave[P]
+    their predicted scale levels.  Returns idx[P] into frame features.
+    """
+    radii = radius_base * scale_factor ** pred_octave.astype(jnp.float32)
+    dist = hamming_matrix(point_desc, feat.desc)
+    mask = window_mask(uv_proj, feat.uv_und, radii, point_valid, feat.valid)
+    mask = mask & octave_mask(pred_octave, feat.octave, *octave_window)
+    idx, best = masked_match(dist, mask, max_dist=max_dist, ratio=ratio)
+    # One feature can win several points; keep the closest (fuse-style dedup).
+    idx = _dedup_targets(idx, best, feat.capacity)
+    return idx, best
+
+
+def _dedup_targets(idx: jnp.ndarray, best: jnp.ndarray, n_targets: int):
+    """Resolve many->one collisions: keep the source with min distance."""
+    sel = jnp.clip(idx, 0, n_targets - 1)
+    d = jnp.where(idx >= 0, best, BIG)
+    per_target_min = jnp.full((n_targets,), BIG).at[sel].min(d)
+    win = d <= per_target_min[sel] + 1e-6
+    return jnp.where((idx >= 0) & win, idx, -1)

@@ -1,0 +1,204 @@
+"""Oriented BRIEF descriptors + the full pyramid feature extractor.
+
+TPU re-design of the reference ORB pipeline (``src/ORBextractor.cc``):
+
+- orientation = intensity centroid over a radius-15 circular patch
+  (``IC_Angle`` ``:77-106`` with the umax circle ``:452-469``) — here one
+  batched 2D gather over precomputed in-circle offsets;
+- descriptor = 256 rotated point-pair comparisons on the blurred level
+  (``computeOrbDescriptor`` ``:108-145``).  The reference hard-codes the
+  learned ``bit_pattern_31_`` table; we deliberately use a seeded
+  BRIEF-style Gaussian pattern instead (descriptors only ever meet our own
+  matcher, so bit-compatibility with OpenCV is a non-goal; repeatability is
+  golden-tested instead).
+
+Feature sets are fixed-capacity struct-of-arrays (static shapes under jit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import ORBConfig
+from orb_slam_free_space_carving_tpu.ops import fast as fast_ops
+from orb_slam_free_space_carving_tpu.ops import pyramid as pyr_ops
+
+HALF_PATCH = 15
+DESC_BITS = 256
+DESC_BYTES = 32
+PATTERN_RADIUS = 13
+PATTERN_SEED = 1234
+
+
+class Features(NamedTuple):
+    """Per-frame feature set, padded to static capacity N.
+
+    ``xy`` is in level-0 pixel coordinates (like reference keypoints after
+    scaling); ``uv_und`` is filled by the frame builder after undistortion.
+    """
+
+    xy: jnp.ndarray        # [N,2] float32, raw (distorted) level-0 coords
+    uv_und: jnp.ndarray    # [N,2] float32, undistorted coords
+    response: jnp.ndarray  # [N] float32
+    angle: jnp.ndarray     # [N] float32 radians
+    octave: jnp.ndarray    # [N] int32 pyramid level
+    desc: jnp.ndarray      # [N,32] uint8 packed descriptor
+    valid: jnp.ndarray     # [N] bool
+
+    @property
+    def capacity(self):
+        return self.xy.shape[-2]
+
+
+@functools.lru_cache(maxsize=None)
+def _circle_offsets():
+    """All integer offsets within the radius-15 intensity-centroid circle."""
+    offs = []
+    for dy in range(-HALF_PATCH, HALF_PATCH + 1):
+        for dx in range(-HALF_PATCH, HALF_PATCH + 1):
+            if dx * dx + dy * dy <= HALF_PATCH * HALF_PATCH:
+                offs.append((dx, dy))
+    return np.array(offs, dtype=np.float32)  # [P,2] (dx,dy)
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_pattern(seed: int = PATTERN_SEED):
+    """[256, 2, 2] float32 point pairs ~ N(0, (r/2.5)^2), clipped to radius."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, PATTERN_RADIUS / 2.5, size=(DESC_BITS, 2, 2))
+    norm = np.linalg.norm(pts, axis=-1, keepdims=True)
+    pts = np.where(norm > PATTERN_RADIUS, pts * (PATTERN_RADIUS / norm), pts)
+    return pts.astype(np.float32)
+
+
+def _gather_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+    return img[yi, xi]
+
+
+def compute_orientation(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle (radians) for keypoints xy[N,2] on one level."""
+    offs = jnp.asarray(_circle_offsets())  # [P,2]
+    px = xy[:, None, 0] + offs[None, :, 0]
+    py = xy[:, None, 1] + offs[None, :, 1]
+    vals = _gather_image(img, px, py)  # [N,P]
+    m10 = jnp.sum(vals * offs[None, :, 0], axis=1)
+    m01 = jnp.sum(vals * offs[None, :, 1], axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def compute_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Rotated-BRIEF descriptors: [N,32] uint8 on one pyramid level."""
+    pat = jnp.asarray(_brief_pattern())  # [256,2,2]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
+    # Rotate pattern per keypoint: [N,256,2,2]
+    px = pat[None, :, :, 0]
+    py = pat[None, :, :, 1]
+    rx = ca[:, None, None] * px - sa[:, None, None] * py + xy[:, None, None, 0]
+    ry = sa[:, None, None] * px + ca[:, None, None] * py + xy[:, None, None, 1]
+    vals = _gather_image(img_blur, rx, ry)  # [N,256,2]
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # [N,256]
+    # Pack 8 bits per byte, LSB-first.
+    bits8 = bits.reshape(bits.shape[0], DESC_BYTES, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+    return jnp.sum(bits8 * weights[None, None, :], axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits(desc_u8: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[...,32] uint8 -> [...,256] 0/1 in a matmul-friendly dtype.
+
+    Unpacked descriptors turn Hamming distance into an MXU matmul
+    (see ops/matching.py).
+    """
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (desc_u8[..., :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(desc_u8.shape[:-1] + (DESC_BITS,)).astype(dtype)
+
+
+def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> List[int]:
+    """Geometric per-level feature budgets (``ORBextractor.cc:435-446``)."""
+    factor = 1.0 / scale_factor
+    first = n_features * (1 - factor) / (1 - factor ** n_levels)
+    budgets = []
+    acc = 0
+    for l in range(n_levels - 1):
+        b = int(round(first * factor ** l))
+        budgets.append(b)
+        acc += b
+    budgets.append(max(n_features - acc, 0))
+    return budgets
+
+
+def extract_features(img_u8: jnp.ndarray, cfg: ORBConfig, capacity: int | None = None
+                     ) -> Features:
+    """Full ORB extraction: pyramid -> FAST -> orientation -> descriptors.
+
+    Jit-compatible for a fixed image shape; returns Features padded to
+    ``capacity`` (default cfg.n_features_pad).  Mirrors
+    ``ORBextractor::operator()`` (``src/ORBextractor.cc:1043-1105``).
+    """
+    capacity = capacity or cfg.n_features_pad
+    levels, blurred = pyr_ops.build_pyramid(img_u8, cfg.n_levels, cfg.scale_factor)
+    budgets = level_budgets(cfg.n_features, cfg.n_levels, cfg.scale_factor)
+
+    xs, us, rs, angs, octs, descs, vals = [], [], [], [], [], [], []
+    for l in range(cfg.n_levels):
+        cap_l = max(8, budgets[l])
+        xy, score, valid = fast_ops.detect_level(
+            levels[l],
+            capacity=cap_l,
+            ini_threshold=float(cfg.ini_th_fast),
+            min_threshold=float(cfg.min_th_fast),
+            cell_size=cfg.cell_size,
+            border=cfg.edge_threshold,
+        )
+        ang = compute_orientation(levels[l], xy)
+        desc = compute_descriptors(blurred[l], xy, ang)
+        scale = cfg.scale_factor ** l
+        xs.append(xy * scale)
+        rs.append(score)
+        angs.append(ang)
+        octs.append(jnp.full((cap_l,), l, dtype=jnp.int32))
+        descs.append(desc)
+        vals.append(valid)
+
+    xy = jnp.concatenate(xs, axis=0)
+    response = jnp.concatenate(rs, axis=0)
+    angle = jnp.concatenate(angs, axis=0)
+    octave = jnp.concatenate(octs, axis=0)
+    desc = jnp.concatenate(descs, axis=0)
+    valid = jnp.concatenate(vals, axis=0)
+
+    total = xy.shape[0]
+    if total < capacity:
+        pad = capacity - total
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        response = jnp.pad(response, (0, pad))
+        angle = jnp.pad(angle, (0, pad))
+        octave = jnp.pad(octave, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    elif total > capacity:
+        # Keep strongest responses (uniformity already enforced per level/cell).
+        order = jnp.argsort(jnp.where(valid, -response, jnp.inf))[:capacity]
+        xy, response = xy[order], response[order]
+        angle, octave = angle[order], octave[order]
+        desc, valid = desc[order], valid[order]
+
+    return Features(
+        xy=xy,
+        uv_und=xy,  # frame builder overwrites with undistorted coords
+        response=response,
+        angle=angle,
+        octave=octave,
+        desc=desc,
+        valid=valid,
+    )

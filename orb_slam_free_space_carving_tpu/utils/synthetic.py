@@ -1,0 +1,178 @@
+"""Synthetic textured-scene renderer with exact ground truth.
+
+The reference has no tests (SURVEY.md section 4); its validation was end-to-end
+dataset runs scored offline.  This module supplies the missing capability: a
+procedural 3D "room" (textured axis-aligned quads) rendered from an analytic
+trajectory, giving (a) real grayscale images that exercise the full FAST/ORB
+front-end, (b) exact camera poses for ATE, and (c) exact surface geometry for
+mesh-agreement checks of the carving stage — all without dataset downloads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import CameraConfig
+
+
+@dataclass
+class Quad:
+    """Axis-aligned textured rectangle: origin + two edge vectors."""
+
+    origin: np.ndarray
+    eu: np.ndarray          # edge along texture u
+    ev: np.ndarray          # edge along texture v
+    texture: np.ndarray     # [tu, tv] float grayscale 0..255
+
+    @property
+    def normal(self):
+        n = np.cross(self.eu, self.ev)
+        return n / np.linalg.norm(n)
+
+
+def _block_texture(rng, cells=48, size=384, low=30, high=225):
+    """Blocky random texture: sharp cell boundaries give FAST corners."""
+    base = rng.integers(low, high, size=(cells, cells)).astype(np.float32)
+    idx = (np.arange(size) * cells) // size
+    return base[np.ix_(idx, idx)]
+
+
+def make_room_scene(seed: int = 0, extent: float = 4.0) -> List[Quad]:
+    """A box room (floor, back wall, two side walls) + one interior box face."""
+    rng = np.random.default_rng(seed)
+    e = extent
+    quads = []
+
+    def q(origin, eu, ev):
+        quads.append(
+            Quad(
+                np.array(origin, np.float64),
+                np.array(eu, np.float64),
+                np.array(ev, np.float64),
+                _block_texture(rng),
+            )
+        )
+
+    # Camera starts near origin looking down +z. Walls surround [−e/2, e/2]^2 x [0, e].
+    q([-e / 2, +e / 2, 0.0], [e, 0, 0], [0, 0, e])      # floor (y up is -y in cam frame)
+    q([-e / 2, -e / 2, 0.0], [e, 0, 0], [0, 0, e])      # ceiling
+    q([-e / 2, -e / 2, e], [e, 0, 0], [0, e, 0])        # back wall at z=e
+    q([-e / 2, -e / 2, 0.0], [0, 0, e], [0, e, 0])      # left wall
+    q([+e / 2, -e / 2, 0.0], [0, 0, e], [0, e, 0])      # right wall
+    # Interior box front face for depth variation.
+    q([-0.6, -0.2, e * 0.55], [1.2, 0, 0], [0, 0.9, 0])
+    return quads
+
+
+def render(scene: List[Quad], cam: CameraConfig, pose_cw_Rt) -> np.ndarray:
+    """Render grayscale uint8 image from pose (R, t) with x_c = R x_w + t."""
+    R, t = pose_cw_Rt
+    H, W = cam.height, cam.width
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    dirs_c = np.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, np.ones_like(u)], axis=-1
+    )
+    Rcw_inv = R.T
+    origin_w = -Rcw_inv @ t
+    dirs_w = dirs_c @ R  # (R^T d) for row-vector convention
+
+    best_t = np.full((H, W), np.inf)
+    img = np.zeros((H, W), np.float32) + 10.0
+
+    for quad in scene:
+        n = quad.normal
+        denom = dirs_w @ n
+        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        tt = ((quad.origin - origin_w) @ n) / denom
+        hit = origin_w + tt[..., None] * dirs_w
+        rel = hit - quad.origin
+        lu2 = quad.eu @ quad.eu
+        lv2 = quad.ev @ quad.ev
+        a = (rel @ quad.eu) / lu2
+        b = (rel @ quad.ev) / lv2
+        valid = (tt > 1e-6) & (a >= 0) & (a < 1) & (b >= 0) & (b < 1) & (tt < best_t)
+        tu, tv = quad.texture.shape
+        ia = np.clip((a * tu).astype(np.int64), 0, tu - 1)
+        ib = np.clip((b * tv).astype(np.int64), 0, tv - 1)
+        tex = quad.texture[ia, ib]
+        img = np.where(valid, tex, img)
+        best_t = np.where(valid, tt, best_t)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def orbit_trajectory(n_frames: int, radius: float = 0.4, depth_amp: float = 0.25,
+                     yaw_amp: float = 0.12, seed: int = 0):
+    """Smooth exploratory trajectory inside the room.
+
+    Returns list of (R, t) world->camera with x_c = R x_w + t; camera roughly
+    looks down +z with gentle lateral/vertical/depth motion and yaw — enough
+    parallax for monocular init, no pure rotation.
+    """
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        ang = 2.0 * np.pi * s
+        cx = radius * np.sin(ang)
+        cy = 0.5 * radius * np.sin(2.0 * ang + 0.7)
+        cz = depth_amp * np.sin(ang * 1.3)
+        yaw = yaw_amp * np.sin(ang + 0.3)
+        pitch = 0.5 * yaw_amp * np.sin(1.7 * ang)
+        cyw, syw = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cyw, 0, syw], [0, 1, 0], [-syw, 0, cyw]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        Rwc = Ry @ Rx
+        cw = np.array([cx, cy, cz])
+        R = Rwc.T
+        t = -R @ cw
+        poses.append((R, t))
+    return poses
+
+
+@dataclass
+class SyntheticSequence:
+    """Renders lazily; mimics the ImageSequence interface."""
+
+    cam: CameraConfig
+    n_frames: int = 60
+    fps: float = 30.0
+    seed: int = 0
+    scene: List[Quad] = field(default_factory=list)
+    poses_cw: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.scene:
+            self.scene = make_room_scene(self.seed)
+        if not self.poses_cw:
+            self.poses_cw = orbit_trajectory(self.n_frames, seed=self.seed)
+        self.timestamps = [i / self.fps for i in range(self.n_frames)]
+        self._cache = {}
+
+    def __len__(self):
+        return self.n_frames
+
+    def frame(self, i: int) -> Tuple[float, np.ndarray]:
+        if i not in self._cache:
+            self._cache[i] = render(self.scene, self.cam, self.poses_cw[i])
+        return self.timestamps[i], self._cache[i]
+
+    def __iter__(self):
+        for i in range(self.n_frames):
+            yield self.frame(i)
+
+    def gt_positions(self) -> np.ndarray:
+        """Camera centers in world frame, [N,3]."""
+        return np.stack([-(R.T @ t) for R, t in self.poses_cw])
+
+    def gt_pose7(self, i: int) -> np.ndarray:
+        """Ground-truth Tcw as [qw qx qy qz tx ty tz] float32."""
+        from orb_slam_free_space_carving_tpu.utils import lie
+        import jax.numpy as jnp
+
+        R, t = self.poses_cw[i]
+        return np.asarray(
+            lie.se3_from_Rt(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+        )
