@@ -1,0 +1,228 @@
+"""Carver: the incremental free-space-carving reconstruction stage.
+
+TPU re-design of the CARV ``Modeler`` thread + transcript pipeline (reference
+``src/Modeler/Modeler.cc``, ``SFMTranscriptInterface_*``): instead of a polled
+text transcript feeding an incremental CGAL tetrahedrization, the carver
+
+- reads the *current* map snapshot (keyframe poses + observation table =
+  exactly the visibility constraint set the reference accumulates through
+  transcript entries — inserts/deletes/moves are implicit in the snapshot);
+- runs the batched ray-march vote kernel + MRF relaxation (ops/carving.py) at
+  a throttled cadence (``SFMTranscriptInterface_Delaunay.cpp:404`` >=5 s; here
+  every ``mesh_every_kfs`` keyframes or on demand);
+- extracts the free/occupied interface as a mesh with *surface nets* on host
+  (vertex per boundary cell at the evidence-weighted centroid, quads across
+  boundary faces);
+- writes OBJ like ``FreespaceDelaunayAlgorithm::writeObj`` (``.cc:734-762``).
+
+The event journal (map_state.JournalEvent) is still recorded by the pipeline
+and exported via :meth:`write_transcript` — the replayable checkpoint artifact
+the reference's transcript provides (SURVEY.md section 5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import SystemConfig
+from orb_slam_free_space_carving_tpu.models import map_state as ms
+from orb_slam_free_space_carving_tpu.ops import carving
+from orb_slam_free_space_carving_tpu.utils import lie
+
+
+class Carver:
+    def __init__(self, cfg: SystemConfig, map_arrays_ref, map_host: ms.MapHost,
+                 mesh_every_kfs: int = 5):
+        self.cfg = cfg
+        self._map_ref = map_arrays_ref
+        self.host = map_host
+        self.mesh_every_kfs = mesh_every_kfs
+        self._kfs_since_mesh = 0
+        self._n_kf_seen = 0
+        self.vertices: Optional[np.ndarray] = None   # [V,3]
+        self.faces: Optional[np.ndarray] = None      # [F,3] int (triangles)
+        self.field: Optional[np.ndarray] = None
+        self.n_meshes = 0
+
+    @property
+    def m(self) -> ms.MapArrays:
+        return self._map_ref[0]
+
+    # ------------------------------------------------------------------
+    def poll(self):
+        """Called per frame (Modeler::Run cadence); meshes on KF throttle."""
+        n_kf = int(self.host.kf_valid.sum())
+        if n_kf > self._n_kf_seen:
+            self._kfs_since_mesh += n_kf - self._n_kf_seen
+            self._n_kf_seen = n_kf
+        if self._kfs_since_mesh >= self.mesh_every_kfs and n_kf >= 2:
+            self.update_mesh()
+            self._kfs_since_mesh = 0
+
+    def finalize(self):
+        if int(self.host.kf_valid.sum()) >= 2:
+            self.update_mesh()
+
+    def on_reset(self):
+        self.vertices = None
+        self.faces = None
+        self._kfs_since_mesh = 0
+        self._n_kf_seen = 0
+
+    # ------------------------------------------------------------------
+    def _constraints(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(origins[B,3], targets[B,3], mask[B]) from the current obs table."""
+        m = self.m
+        host = self.host
+        K = host.n_kf_slots
+        obs = host.obs_pt[:K]                      # [K,N]
+        kf_ok = host.kf_valid[:K]
+        ks, fs = np.where((obs >= 0) & kf_ok[:, None])
+        pids = obs[ks, fs]
+        live = host.pt_valid[pids]
+        ks, pids = ks[live], pids[live]
+        centers = np.asarray(lie.se3_inverse(m.kf_pose))[:, 4:7]
+        pts = np.asarray(m.pt_xyz)
+        origins = centers[ks]
+        targets = pts[pids]
+        cap = self.cfg.carving.max_rays_per_kf * max(int(kf_ok.sum()), 1)
+        if origins.shape[0] > cap:
+            sel = np.random.default_rng(0).choice(origins.shape[0], cap, replace=False)
+            origins, targets = origins[sel], targets[sel]
+        return origins.astype(np.float32), targets.astype(np.float32)
+
+    def update_mesh(self):
+        """Recompute vote grids from all constraints + extract the surface."""
+        ccfg = self.cfg.carving
+        origins, targets = self._constraints()
+        if origins.shape[0] < 50:
+            return
+        # Pad rays to a static bucket (powers of two) for jit cache reuse.
+        B = 1 << int(np.ceil(np.log2(max(origins.shape[0], 1024))))
+        pad = B - origins.shape[0]
+        mask = np.ones(B, bool)
+        if pad:
+            mask[origins.shape[0]:] = False
+            origins = np.pad(origins, ((0, pad), (0, 0)))
+            targets = np.pad(targets, ((0, pad), (0, 0)))
+
+        pts_all = jnp.asarray(targets)
+        lo, hi = carving.compute_bounds(
+            jnp.concatenate([pts_all, jnp.asarray(origins)]),
+            jnp.asarray(np.concatenate([mask, mask])),
+            margin=float(ccfg.bounds_scale),
+        )
+        votes, evidence = carving.carve_votes(
+            jnp.asarray(origins), pts_all, jnp.asarray(mask), lo, hi,
+            resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,
+        )
+        field = carving.mrf_relax(
+            votes, evidence, lambda_smooth=ccfg.lambda_smooth,
+            iterations=ccfg.mrf_iterations,
+            free_threshold=ccfg.free_vote_threshold,
+        )
+        ev_dil = carving.dilate_evidence(evidence, radius=2)
+        fx, fy, fz = carving.boundary_faces(field, ev_dil)
+
+        self.field = np.asarray(field)
+        self._extract_surface_nets(
+            np.asarray(fx), np.asarray(fy), np.asarray(fz),
+            np.asarray(field), np.asarray(lo), np.asarray(hi),
+        )
+        self.n_meshes += 1
+
+    # ------------------------------------------------------------------
+    def _extract_surface_nets(self, fx, fy, fz, field, lo, hi):
+        """Vectorized boundary-face mesh: one quad (two triangles) per voxel
+        face on the free/occupied interface, vertices on the corner lattice
+        (dedup via np.unique).
+
+        Watertight on the interface — the voxel analog of the reference's
+        "facets between kept and carved tets"
+        (``tetsToTris_maxFlowSimple`` ``.cc:1617-1655``).
+        """
+        R = field.shape[0]
+        scale = (hi - lo) / R
+
+        quads = []  # [F,4,3] corner lattice indices
+        for ax, fgrid in ((0, fx), (1, fy), (2, fz)):
+            cells = np.argwhere(fgrid)              # [F,3]
+            if cells.size == 0:
+                continue
+            t1 = (ax + 1) % 3
+            t2 = (ax + 2) % 3
+            e_a = np.eye(3, dtype=np.int64)[ax]
+            e1 = np.eye(3, dtype=np.int64)[t1]
+            e2 = np.eye(3, dtype=np.int64)[t2]
+            base = cells + e_a                      # face plane corner origin
+            q = np.stack(
+                [base, base + e1, base + e1 + e2, base + e2], axis=1
+            )
+            quads.append(q)
+
+        if not quads:
+            self.vertices = np.zeros((0, 3), np.float32)
+            self.faces = np.zeros((0, 3), np.int64)
+            return
+        q = np.concatenate(quads)                   # [F,4,3]
+        corners = q.reshape(-1, 3)
+        uniq, inv = np.unique(corners, axis=0, return_inverse=True)
+        fidx = inv.reshape(-1, 4)                   # [F,4]
+        self.vertices = (uniq.astype(np.float32) * scale + lo).astype(np.float32)
+        self.faces = np.concatenate(
+            [fidx[:, [0, 1, 2]], fidx[:, [0, 2, 3]]], axis=0
+        ).astype(np.int64)
+
+    # ------------------------------------------------------------------
+    def save_obj(self, path: str):
+        """OBJ writer (FreespaceDelaunayAlgorithm::writeObj ``.cc:734-762``)."""
+        if self.vertices is None:
+            self.update_mesh()
+        v = self.vertices if self.vertices is not None else np.zeros((0, 3))
+        f = self.faces if self.faces is not None else np.zeros((0, 3), np.int64)
+        with open(path, "w") as fh:
+            for p in v:
+                fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            for tri_ in f:
+                fh.write(f"f {tri_[0]+1} {tri_[1]+1} {tri_[2]+1}\n")
+
+    def write_transcript(self, path: str):
+        """Serialize the event journal in the reference transcript dialect
+        (``SFMTranscriptInterface_ORBSLAM.cpp:154-316`` command vocabulary) so
+        reconstructions are replayable/checkpointable."""
+        with open(path, "w") as f:
+            for ev in self.host.journal:
+                if ev.kind == "reset":
+                    f.write("reset\n")
+                elif ev.kind == "keyframe":
+                    c = ev.cam_center
+                    f.write(f"new cam: [{c[0]:.6f}; {c[1]:.6f}; {c[2]:.6f}] {{\n")
+                    if ev.new_points is not None:
+                        for pid, p in zip(ev.new_point_ids, ev.new_points):
+                            f.write(
+                                f" new point: {pid} [{p[0]:.6f}; {p[1]:.6f}; {p[2]:.6f}]\n"
+                            )
+                    if ev.vis_ids is not None:
+                        ids = " ".join(str(int(i)) for i in ev.vis_ids)
+                        f.write(f" vis-list: {ids}\n")
+                    f.write("}\n")
+                elif ev.kind == "del_point":
+                    f.write(f"del point: {ev.point_id}\n")
+                elif ev.kind == "del_obs":
+                    f.write(f"del observation: {ev.kf}, {ev.point_id}\n")
+                elif ev.kind == "adjust":
+                    f.write("bundle {\n")
+                    if ev.moved_ids is not None:
+                        for pid, p in zip(ev.moved_ids, ev.moved_xyz):
+                            f.write(
+                                f" move point: {pid} [{p[0]:.6f}; {p[1]:.6f}; {p[2]:.6f}]\n"
+                            )
+                    if ev.moved_kfs is not None:
+                        for k, c in zip(ev.moved_kfs, ev.moved_centers):
+                            f.write(
+                                f" move cam: {k} [{c[0]:.6f}; {c[1]:.6f}; {c[2]:.6f}]\n"
+                            )
+                    f.write("}\n")

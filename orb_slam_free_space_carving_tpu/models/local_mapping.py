@@ -1,0 +1,560 @@
+"""Local mapping: keyframe processing, point creation, local BA, culling.
+
+TPU re-design of ``LocalMapping`` (reference ``src/LocalMapping.cc``).  The
+thread + keyframe queue becomes a stage object whose ``on_keyframe`` is invoked
+by the tracker (inline in deterministic mode; via the async runtime otherwise).
+Numeric steps are jitted batched kernels:
+
+- ``CreateNewMapPoints`` (``:220-465``): per covisible neighbor, one dense
+  epipolar-constrained Hamming match over *all* unbound feature pairs + one
+  batched DLT triangulation + the acceptance cascade as mask reductions
+  (vs. the reference's per-pair scalar loops);
+- ``MapPointCulling`` (``:181-218``): found-ratio/observation-count rules over
+  the whole recent-point set at once;
+- local BA (``Optimizer::LocalBundleAdjustment``, ``src/Optimizer.cc:453-791``):
+  the Schur-complement LM solver in ops/ba.py over a fixed-capacity window;
+- ``SearchInNeighbors`` fuse (``:467-547``): projection matching of the new
+  keyframe's points into neighbors to add missed observations / merge
+  duplicates;
+- ``KeyFrameCulling`` (``:645-709``): 90%-redundancy rule on host counters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import SystemConfig
+from orb_slam_free_space_carving_tpu.models import map_state as ms
+from orb_slam_free_space_carving_tpu.ops import ba, matching, triangulation as tri
+from orb_slam_free_space_carving_tpu.utils import camera, lie
+
+
+# ---------------------------------------------------------------------------
+# Jitted kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _epipolar_triangulate_pair(
+    pose1, pose2, uv1, oct1, ang1, desc1, free1,
+    uv2, oct2, ang2, desc2, free2, intr, inv_sigma2_by_level,
+):
+    """Match unbound features across one keyframe pair along epipolar lines and
+    triangulate (SearchForTriangulation ``ORBmatcher.cc:657-823`` + the
+    triangulation block of ``LocalMapping.cc:297-463``).
+
+    Returns (match_idx[N] into kf2 features, xyz[N,3], good[N]).
+    """
+    # Fundamental matrix F12 from relative pose (ComputeF12, LocalMapping.cc:549-566).
+    T12 = lie.se3_compose(pose1, lie.se3_inverse(pose2))
+    R12, t12 = lie.se3_to_Rt(T12)
+    K = jnp.array(
+        [[intr[0], 0.0, intr[2]], [0.0, intr[1], intr[3]], [0.0, 0.0, 1.0]],
+        dtype=uv1.dtype,
+    )
+    Kinv = jnp.linalg.inv(K)
+    F12 = Kinv.T @ lie.hat(t12) @ R12 @ Kinv
+
+    # Epipolar distance of every kf2 feature to the line of every kf1 feature:
+    # with x1^T F12 x2 = 0, the line in image 2 for x1 is l2 = F12^T x1.
+    p1h = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=-1)
+    lines2 = p1h @ F12                          # [N,3] (row vector x1^T F12)
+    num = (lines2[:, None, 0] * uv2[None, :, 0]
+           + lines2[:, None, 1] * uv2[None, :, 1]
+           + lines2[:, None, 2]) ** 2
+    den = jnp.maximum(lines2[:, None, 0] ** 2 + lines2[:, None, 1] ** 2, 1e-12)
+    epi_d2 = num / den                          # [N,M]
+
+    sigma2_2 = 1.0 / inv_sigma2_by_level[jnp.clip(oct2, 0, inv_sigma2_by_level.shape[0] - 1)]
+    epi_ok = epi_d2 < 3.84 * sigma2_2[None, :]  # ORBmatcher.cc:745- epipolar gate
+
+    # Distance from the epipole in image 2 must be large enough (:741-752).
+    c1_w = lie.se3_inverse(pose1)[4:7]
+    e2_c = lie.se3_apply(pose2, c1_w[None, :])[0]
+    behind = e2_c[2] < 1e-6
+    ex = jnp.where(behind, 1e9, intr[0] * e2_c[0] / jnp.maximum(e2_c[2], 1e-6) + intr[2])
+    ey = jnp.where(behind, 1e9, intr[1] * e2_c[1] / jnp.maximum(e2_c[2], 1e-6) + intr[3])
+    de2 = (uv2[:, 0] - ex) ** 2 + (uv2[:, 1] - ey) ** 2
+    epi_far = de2[None, :] >= 100.0 * sigma2_2[None, :]
+
+    dist = matching.hamming_matrix(desc1, desc2)
+    mask = epi_ok & epi_far & free1[:, None] & free2[None, :]
+    idx, best = matching.masked_match(dist, mask, max_dist=50.0)
+    idx = matching.rotation_consistency(idx, ang1, ang2)
+    idx = matching._dedup_targets(idx, best, uv2.shape[0])
+
+    # Triangulate matched pairs.
+    sel = jnp.clip(idx, 0, uv2.shape[0] - 1)
+    P1 = tri.projection_matrix(pose1, intr)
+    P2 = tri.projection_matrix(pose2, intr)
+    xyz = tri.triangulate_dlt(uv1, uv2[sel], P1, P2)
+    xyz = tri.refine_triangulation(xyz, uv1, uv2[sel], pose1, pose2, intr)
+    s2_1 = 1.0 / inv_sigma2_by_level[jnp.clip(oct1, 0, inv_sigma2_by_level.shape[0] - 1)]
+    good = tri.check_triangulation(
+        xyz, pose1, pose2, intr, uv1, uv2[sel],
+        s2_1, sigma2_2[sel], chi2_th=5.991,
+    )
+    good = good & (idx >= 0)
+    return idx, xyz, good
+
+
+@jax.jit
+def _fuse_project(pose_kf, pt_xyz, pt_desc, pt_valid, pt_maxdist, pt_normal,
+                  kf_uv, kf_oct, kf_desc, kf_feat_valid, kf_free, intr,
+                  scale_factor, n_levels, wh):
+    """Project candidate points into a keyframe and match to its unbound
+    features (the add-missed-observation half of ``ORBmatcher::Fuse``
+    ``ORBmatcher.cc:825-975``).  Returns idx[P] into the KF's features."""
+    ok, uv, z, dist, _ = camera.in_frustum(
+        pt_xyz, pose_kf, intr, wh[0], wh[1], normals_w=pt_normal,
+        view_cos_limit=0.5,
+    )
+    vis = ok & pt_valid
+    pred = camera.predict_scale_level(dist, pt_maxdist, scale_factor, n_levels)
+    radii = 3.0 * scale_factor ** pred.astype(jnp.float32)
+    dmat = matching.hamming_matrix(pt_desc, kf_desc)
+    m = matching.window_mask(uv, kf_uv, radii, vis, kf_feat_valid & kf_free)
+    m = m & matching.octave_mask(pred, kf_oct, -1, 1)
+    idx, best = matching.masked_match(dmat, m, max_dist=50.0)
+    idx = matching._dedup_targets(idx, best, kf_uv.shape[0])
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _local_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
+              obs_uv, obs_is2, obs_mask, intr, iterations):
+    prob = ba.BAProblem(
+        cam_poses=cam_poses, cam_free=cam_free, points=points,
+        point_valid=point_valid, obs_cam=obs_cam, obs_point=obs_point,
+        obs_uv=obs_uv, obs_inv_sigma2=obs_is2, obs_mask=obs_mask,
+    )
+    return ba.ba_solve(prob, intr, iterations=iterations)
+
+
+# ---------------------------------------------------------------------------
+# Stage
+# ---------------------------------------------------------------------------
+
+class LocalMapper:
+    def __init__(self, cfg: SystemConfig, map_arrays_ref, map_host: ms.MapHost,
+                 loop_closer=None):
+        self.cfg = cfg
+        self._map_ref = map_arrays_ref
+        self.host = map_host
+        self.loop_closer = loop_closer
+        self.intr = camera.intrinsics_array(cfg.camera)
+        self.wh = (cfg.camera.width, cfg.camera.height)
+        self._inv_sigma2 = jnp.asarray(
+            1.0 / np.array(cfg.orb.level_sigma2, np.float32)
+        )
+        self.recent_points: List[tuple] = []   # (pid, created_at_kf)
+        self.kf_counter = 0
+        self.ba_times_ms: List[float] = []
+
+    @property
+    def m(self) -> ms.MapArrays:
+        return self._map_ref[0]
+
+    @m.setter
+    def m(self, v):
+        self._map_ref[0] = v
+
+    def is_idle(self) -> bool:
+        return True  # inline mode: always caught up
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, kf: int):
+        self.kf_counter += 1
+        if self.kf_counter <= 2:
+            # The two init keyframes arrive fully built (Tracking does init BA).
+            if self.loop_closer is not None:
+                self.loop_closer.on_keyframe(kf)
+            return
+        self._cull_recent_points(kf)
+        self._create_new_points(kf)
+        self._fuse_neighbors(kf)
+        self._local_bundle_adjustment(kf)
+        self._cull_keyframes(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    def _cull_recent_points(self, kf: int):
+        """MapPointCulling (LocalMapping.cc:181-218): found/visible < 0.25, or
+        too few observations shortly after creation."""
+        m = self.m
+        if not self.recent_points:
+            return
+        keep = []
+        to_kill = []
+        vis = np.asarray(m.pt_visible)
+        fnd = np.asarray(m.pt_found)
+        for pid, born_kf_count in self.recent_points:
+            if not self.host.pt_valid[pid]:
+                continue
+            age = self.kf_counter - born_kf_count
+            ratio = fnd[pid] / max(int(vis[pid]), 1)
+            nobs = self.host.n_observations(pid)
+            if ratio < self.cfg.mapping.cull_found_ratio:
+                to_kill.append(pid)
+            elif age >= 2 and nobs <= self.cfg.mapping.cull_min_obs_after - 1:
+                to_kill.append(pid)
+            elif age >= 3:
+                pass  # survived probation
+            else:
+                keep.append((pid, born_kf_count))
+        self.recent_points = keep
+        if to_kill:
+            self._delete_points(np.array(to_kill, np.int32))
+
+    def _delete_points(self, pids: np.ndarray):
+        """SetBadFlag cascade + CARV del-point events (MapPoint.cc:159-177)."""
+        for pid in pids:
+            for (k, f) in self.host.point_observations(int(pid)):
+                self.host.erase_observation(k, f)
+            self.host.free_point(int(pid))
+            self.host.journal.append(
+                ms.JournalEvent(kind="del_point", point_id=int(pid))
+            )
+        ids = jnp.asarray(pids)
+        self.m = ms.invalidate_points(self.m, ids, jnp.ones(len(pids), bool))
+        # Clear device obs table rows for those points.
+        obs = self.m.obs_pt
+        hit = jnp.isin(obs, ids)
+        self.m = self.m._replace(obs_pt=jnp.where(hit, -1, obs))
+
+    # ------------------------------------------------------------------
+    def _create_new_points(self, kf: int):
+        """CreateNewMapPoints (LocalMapping.cc:220-465)."""
+        m = self.m
+        neighbors = self.host.covisible_keyframes(
+            kf, self.cfg.mapping.triangulation_neighbors, min_weight=1
+        )
+        if neighbors.size == 0:
+            return
+        pose1 = m.kf_pose[kf]
+        c1 = np.asarray(lie.se3_inverse(pose1))[4:7]
+
+        # Median scene depth of the new keyframe (baseline gate :250-274).
+        own = self.host.obs_pt[kf]
+        own_pts = own[own >= 0]
+        if own_pts.size < 10:
+            return
+        pts_xyz = np.asarray(m.pt_xyz)[own_pts]
+        xc = np.asarray(lie.se3_apply(pose1, jnp.asarray(pts_xyz)))
+        med_depth = float(np.median(xc[:, 2]))
+
+        free1 = jnp.asarray(own < 0) & m.kf_feat_valid[kf]
+
+        for nb in neighbors:
+            c2 = np.asarray(lie.se3_inverse(m.kf_pose[int(nb)]))[4:7]
+            baseline = float(np.linalg.norm(c2 - c1))
+            if baseline / max(med_depth, 1e-9) < 0.01:   # ratioBaselineDepth :271
+                continue
+            nb = int(nb)
+            nb_obs = self.host.obs_pt[nb]
+            free2 = jnp.asarray(nb_obs < 0) & m.kf_feat_valid[nb]
+            idx, xyz, good = _epipolar_triangulate_pair(
+                pose1, m.kf_pose[nb],
+                m.kf_uv[kf], m.kf_octave[kf], m.kf_angle[kf], m.kf_desc[kf], free1,
+                m.kf_uv[nb], m.kf_octave[nb], m.kf_angle[nb], m.kf_desc[nb], free2,
+                self.intr, self._inv_sigma2,
+            )
+            good_np = np.asarray(good)
+            if not good_np.any():
+                continue
+            idx_np = np.asarray(idx)
+            xyz_np = np.asarray(xyz)
+            feats1 = np.where(good_np)[0]
+            feats2 = idx_np[feats1]
+            n_new = feats1.size
+            try:
+                pids = self.host.alloc_points(n_new)
+            except RuntimeError:
+                return
+            # Host obs bookkeeping.
+            self.host.obs_pt[kf, feats1] = pids
+            self.host.obs_pt[nb, feats2] = pids
+            own = self.host.obs_pt[kf]
+
+            # Device: scatter new points (+ device obs rows).
+            new_xyz = xyz_np[feats1]
+            d = np.linalg.norm(new_xyz - c1, axis=-1)
+            sf = self.cfg.orb.scale_factor
+            oct1 = np.asarray(m.kf_octave[kf])[feats1]
+            max_dist = d * (sf ** oct1)
+            min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
+            normal = (new_xyz - c1) / np.maximum(d[:, None], 1e-9)
+            ids_j = jnp.asarray(pids)
+            m2 = ms.add_points_arrays(
+                m, ids_j, jnp.asarray(new_xyz, jnp.float32),
+                m.kf_desc[kf][jnp.asarray(feats1)],
+                jnp.asarray(normal, jnp.float32),
+                jnp.asarray(min_dist, jnp.float32),
+                jnp.asarray(max_dist, jnp.float32),
+                jnp.full(n_new, kf, jnp.int32), jnp.full(n_new, kf, jnp.int32),
+                jnp.ones(n_new, bool),
+            )
+            m2 = m2._replace(
+                obs_pt=m2.obs_pt
+                .at[kf, jnp.asarray(feats1)].set(ids_j)
+                .at[nb, jnp.asarray(feats2)].set(ids_j)
+            )
+            m = m2
+            self.m = m
+            free1 = jnp.asarray(own < 0) & m.kf_feat_valid[kf]
+            for pid in pids:
+                self.recent_points.append((int(pid), self.kf_counter))
+            # CARV journal: extend the latest keyframe event's new points.
+            for ev in reversed(self.host.journal):
+                if ev.kind == "keyframe" and ev.kf == kf:
+                    ev.new_points = np.concatenate([ev.new_points, new_xyz])
+                    ev.new_point_ids = np.concatenate(
+                        [ev.new_point_ids, pids.astype(np.int64)]
+                    )
+                    ev.vis_ids = np.unique(np.concatenate([ev.vis_ids, pids]))
+                    break
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, kf: int):
+        """SearchInNeighbors (LocalMapping.cc:467-547), add-observation half:
+        project the new KF's points into 1-hop neighbors and bind unbound
+        features that match."""
+        m = self.m
+        neighbors = self.host.covisible_keyframes(
+            kf, self.cfg.mapping.fuse_neighbors, min_weight=1
+        )
+        own = self.host.obs_pt[kf]
+        pt_ids = own[own >= 0]
+        if pt_ids.size == 0 or neighbors.size == 0:
+            return
+        cap = self.cfg.orb.n_features_pad
+        pad = np.zeros(cap, np.int32)
+        msk = np.zeros(cap, bool)
+        z = min(pt_ids.size, cap)
+        pad[:z] = pt_ids[:z]
+        msk[:z] = True
+        ids_j = jnp.asarray(pad)
+        for nb in neighbors:
+            nb = int(nb)
+            nb_free = jnp.asarray(self.host.obs_pt[nb] < 0)
+            idx = _fuse_project(
+                m.kf_pose[nb],
+                m.pt_xyz[ids_j], m.pt_desc[ids_j],
+                m.pt_valid[ids_j] & jnp.asarray(msk),
+                m.pt_max_dist[ids_j], m.pt_normal[ids_j],
+                m.kf_uv[nb], m.kf_octave[nb], m.kf_desc[nb],
+                m.kf_feat_valid[nb], nb_free, self.intr,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
+            )
+            idx_np = np.asarray(idx)
+            rows = idx_np >= 0
+            if not rows.any():
+                continue
+            self.host.obs_pt[nb, idx_np[rows]] = pad[rows]
+            m = m._replace(
+                obs_pt=m.obs_pt.at[nb, jnp.asarray(idx_np[rows])].set(
+                    jnp.asarray(pad[rows])
+                )
+            )
+            self.m = m
+        self.host.update_covisibility(kf)
+
+    # ------------------------------------------------------------------
+    def _ba_window(self, kf: int):
+        """Select (free KFs, fixed KFs, points, observations) for local BA
+        (Optimizer.cc:455-504)."""
+        cap = self.cfg.capacity
+        free_kfs = [kf] + [
+            int(k) for k in self.host.covisible_keyframes(
+                kf, cap.local_ba_window - 1, min_weight=1
+            )
+        ]
+        free_set = set(free_kfs)
+        # Points seen by the window.
+        pt_set = set()
+        for k in free_kfs:
+            o = self.host.obs_pt[k]
+            pt_set.update(o[o >= 0].tolist())
+        pt_ids = np.array(sorted(pt_set), np.int64)[: cap.local_ba_points]
+        pt_set = set(pt_ids.tolist())
+        # Fixed anchors: other KFs observing those points.
+        fixed = []
+        sub = self.host.obs_pt[: self.host.n_kf_slots]
+        for k in range(self.host.n_kf_slots):
+            if k in free_set or not self.host.kf_valid[k]:
+                continue
+            o = sub[k]
+            if np.isin(o[o >= 0], pt_ids).any():
+                fixed.append(k)
+            if len(fixed) >= cap.local_ba_fixed:
+                break
+        # Keep gauge: always fix at least the two oldest in window if no anchor.
+        if not fixed and len(free_kfs) > 2:
+            fixed = [free_kfs[-1]]
+            free_kfs = free_kfs[:-1]
+            free_set = set(free_kfs)
+        return free_kfs, fixed, pt_ids
+
+    def _local_bundle_adjustment(self, kf: int):
+        import time
+
+        m = self.m
+        cap = self.cfg.capacity
+        free_kfs, fixed_kfs, pt_ids = self._ba_window(kf)
+        all_kfs = free_kfs + fixed_kfs
+        C = cap.local_ba_window + cap.local_ba_fixed
+        P = cap.local_ba_points
+        O = cap.local_ba_obs
+        if pt_ids.size < 20:
+            return
+
+        kf_slotmap = {k: i for i, k in enumerate(all_kfs)}
+        pt_slotmap = {int(p): i for i, p in enumerate(pt_ids)}
+
+        cam_poses = np.zeros((C, 7), np.float32)
+        cam_poses[:, 0] = 1.0
+        cam_free = np.zeros(C, bool)
+        kf_pose_np = np.asarray(m.kf_pose)
+        for i, k in enumerate(all_kfs):
+            cam_poses[i] = kf_pose_np[k]
+            cam_free[i] = i < len(free_kfs)
+        # Never optimize the very first keyframe (gauge, Optimizer.cc:497).
+        for i, k in enumerate(all_kfs):
+            if k == 0:
+                cam_free[i] = False
+
+        pts = np.zeros((P, 3), np.float32)
+        ptv = np.zeros(P, bool)
+        pt_xyz_np = np.asarray(m.pt_xyz)
+        pts[: pt_ids.size] = pt_xyz_np[pt_ids]
+        ptv[: pt_ids.size] = True
+
+        obs_cam = np.zeros(O, np.int32)
+        obs_point = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_is2 = np.ones(O, np.float32)
+        obs_mask = np.zeros(O, bool)
+        obs_src = []  # (kf, feat) per obs row for outlier erasure
+        kf_uv_np = np.asarray(m.kf_uv)
+        kf_oct_np = np.asarray(m.kf_octave)
+        is2_lv = 1.0 / np.array(self.cfg.orb.level_sigma2, np.float32)
+        o = 0
+        for k in all_kfs:
+            row = self.host.obs_pt[k]
+            feats = np.where(row >= 0)[0]
+            for f in feats:
+                pid = int(row[f])
+                if pid not in pt_slotmap or o >= O:
+                    continue
+                obs_cam[o] = kf_slotmap[k]
+                obs_point[o] = pt_slotmap[pid]
+                obs_uv[o] = kf_uv_np[k, f]
+                obs_is2[o] = is2_lv[min(int(kf_oct_np[k, f]), len(is2_lv) - 1)]
+                obs_mask[o] = True
+                obs_src.append((k, int(f)))
+                o += 1
+
+        t0 = time.perf_counter()
+        res = _local_ba(
+            jnp.asarray(cam_poses), jnp.asarray(cam_free), jnp.asarray(pts),
+            jnp.asarray(ptv), jnp.asarray(obs_cam), jnp.asarray(obs_point),
+            jnp.asarray(obs_uv), jnp.asarray(obs_is2), jnp.asarray(obs_mask),
+            self.intr,
+            self.cfg.optimizer.local_ba_iterations_a
+            + self.cfg.optimizer.local_ba_iterations_b,
+        )
+        res.cam_poses.block_until_ready()
+        self.ba_times_ms.append(1e3 * (time.perf_counter() - t0))
+
+        # Write back poses + points.
+        new_poses = res.cam_poses
+        new_pts = res.points
+        kf_idx = jnp.asarray([k for k in all_kfs], jnp.int32)
+        freemask = jnp.asarray(cam_free)
+        m = m._replace(
+            kf_pose=m.kf_pose.at[kf_idx].set(
+                jnp.where(freemask[:, None], new_poses, m.kf_pose[kf_idx])
+            ),
+            pt_xyz=m.pt_xyz.at[jnp.asarray(pt_ids)].set(
+                new_pts[: pt_ids.size]
+            ),
+        )
+        self.m = ms.update_point_stats(m)
+
+        # Outlier erasure (Optimizer.cc:711-757): chi2 > 5.991 -> drop obs.
+        chi2 = np.asarray(res.obs_chi2)[: len(obs_src)]
+        bad = np.where(chi2 > self.cfg.optimizer.chi2_mono)[0]
+        for bi in bad:
+            k, f = obs_src[bi]
+            pid = int(self.host.obs_pt[k, f])
+            if pid < 0:
+                continue
+            self.host.erase_observation(k, f)
+            self.m = self.m._replace(obs_pt=self.m.obs_pt.at[k, f].set(-1))
+            self.host.journal.append(
+                ms.JournalEvent(kind="del_obs", kf=k, point_id=pid)
+            )
+            if self.host.n_observations(pid) < 2:
+                self._delete_points(np.array([pid], np.int32))
+
+        # CARV adjustment event (moved cams + moved points).
+        centers = np.asarray(
+            lie.se3_inverse(jnp.asarray(cam_poses[: len(free_kfs)]))
+        )[:, 4:7]
+        new_centers = np.asarray(lie.se3_inverse(new_poses[: len(free_kfs)]))[:, 4:7]
+        self.host.journal.append(ms.JournalEvent(
+            kind="adjust",
+            moved_ids=pt_ids.copy(),
+            moved_xyz=np.asarray(new_pts[: pt_ids.size]),
+            moved_kfs=np.array(free_kfs, np.int64),
+            moved_centers=new_centers,
+        ))
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: int):
+        """KeyFrameCulling (LocalMapping.cc:645-709): a covisible KF whose
+        >=90% points are observed by >=3 other keyframes is redundant."""
+        for cand in self.host.covisible_keyframes(kf, 10, min_weight=1):
+            cand = int(cand)
+            if cand in (0, 1) or cand == kf:
+                continue
+            row = self.host.obs_pt[cand]
+            pids = row[row >= 0]
+            if pids.size == 0:
+                continue
+            redundant = 0
+            sub = self.host.obs_pt[: self.host.n_kf_slots]
+            for pid in pids:
+                if (sub == pid).sum() >= 4:  # self + 3 others
+                    redundant += 1
+            if redundant >= self.cfg.mapping.kf_cull_redundancy * pids.size:
+                self._remove_keyframe(cand)
+
+    def _remove_keyframe(self, kf: int):
+        """SetBadFlag for a keyframe (KeyFrame.cc:479-535): drop observations,
+        re-parent children, free the slot, emit CARV del-obs events."""
+        row = self.host.obs_pt[kf]
+        feats = np.where(row >= 0)[0]
+        for f in feats:
+            pid = int(row[f])
+            self.host.erase_observation(kf, f)
+            self.host.journal.append(
+                ms.JournalEvent(kind="del_obs", kf=kf, point_id=pid)
+            )
+        self.m = self.m._replace(
+            obs_pt=self.m.obs_pt.at[kf].set(jnp.full_like(self.m.obs_pt[kf], -1)),
+            kf_valid=self.m.kf_valid.at[kf].set(False),
+        )
+        self.host.kf_valid[kf] = False
+        self.host.covis[kf, :] = 0
+        self.host.covis[:, kf] = 0
+        # Re-parent children in the spanning tree.
+        children = np.where(self.host.parent == kf)[0]
+        for ch in children:
+            self.host.parent[ch] = self.host.parent[kf]
+        self.host.parent[kf] = -1

@@ -1,0 +1,294 @@
+"""Map state: fixed-capacity device arrays + host-side structure registry.
+
+TPU re-design of the reference's shared mutable map (L1 in SURVEY.md):
+``Map``/``KeyFrame``/``MapPoint`` (reference ``src/Map.cc``, ``src/KeyFrame.cc``,
+``src/MapPoint.cc``) with their per-object mutexes become
+
+- a **device pytree** (:class:`MapArrays`) of fixed-capacity arrays holding all
+  numerics: keyframe poses, per-keyframe feature tensors, point positions,
+  distinctive descriptors, viewing normals, scale-invariance bounds, tracking
+  counters, and the feature->point observation table ``obs_pt`` (the transpose
+  of ``MapPoint::mObservations``, reference ``src/MapPoint.cc:103-145``);
+- a **host registry** (:class:`MapHost`) owning slot allocation, the numpy
+  mirror of the observation structure, the covisibility graph
+  (``KeyFrame::UpdateConnections``, ``src/KeyFrame.cc:289-379``), the spanning
+  tree (``:371-376``), and the CARV event journal.
+
+All structural mutations happen on the host (the single writer); bulk numeric
+updates are jitted scatters.  This replaces the reference's mutex discipline
+(``Map::mMutexMapUpdate`` etc.) with a functional snapshot/delta model
+(SURVEY.md section 5 "race detection" note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, NamedTuple, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import SystemConfig
+
+
+class MapArrays(NamedTuple):
+    """Device-side map numerics.  K keyframe slots, N features/KF, M points."""
+
+    kf_pose: jnp.ndarray       # [K,7] Tcw
+    kf_valid: jnp.ndarray      # [K] bool
+    kf_uv: jnp.ndarray         # [K,N,2] undistorted keypoint coords
+    kf_octave: jnp.ndarray     # [K,N] int32
+    kf_angle: jnp.ndarray      # [K,N] float32
+    kf_desc: jnp.ndarray       # [K,N,32] uint8
+    kf_feat_valid: jnp.ndarray # [K,N] bool
+    obs_pt: jnp.ndarray        # [K,N] int32 point id per feature slot (-1 none)
+    pt_xyz: jnp.ndarray        # [M,3]
+    pt_valid: jnp.ndarray      # [M] bool
+    pt_desc: jnp.ndarray       # [M,32] uint8 distinctive descriptor
+    pt_normal: jnp.ndarray     # [M,3] mean viewing direction
+    pt_min_dist: jnp.ndarray   # [M] scale-invariance near bound
+    pt_max_dist: jnp.ndarray   # [M] far bound
+    pt_visible: jnp.ndarray    # [M] int32  (MapPoint::IncreaseVisible)
+    pt_found: jnp.ndarray      # [M] int32  (MapPoint::IncreaseFound)
+    pt_ref_kf: jnp.ndarray     # [M] int32 reference keyframe slot
+    pt_first_kf: jnp.ndarray   # [M] int32 creation keyframe (culling rules)
+
+
+def empty_map_arrays(cfg: SystemConfig) -> MapArrays:
+    K = cfg.capacity.max_keyframes
+    N = cfg.orb.n_features_pad
+    M = cfg.capacity.max_points
+    f32, i32, u8 = jnp.float32, jnp.int32, jnp.uint8
+    return MapArrays(
+        kf_pose=jnp.zeros((K, 7), f32).at[:, 0].set(1.0),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_uv=jnp.zeros((K, N, 2), f32),
+        kf_octave=jnp.zeros((K, N), i32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 32), u8),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        obs_pt=jnp.full((K, N), -1, i32),
+        pt_xyz=jnp.zeros((M, 3), f32),
+        pt_valid=jnp.zeros((M,), bool),
+        pt_desc=jnp.zeros((M, 32), u8),
+        pt_normal=jnp.zeros((M, 3), f32),
+        pt_min_dist=jnp.zeros((M,), f32),
+        pt_max_dist=jnp.full((M,), 1e9, f32),
+        pt_visible=jnp.zeros((M,), i32),
+        pt_found=jnp.zeros((M,), i32),
+        pt_ref_kf=jnp.zeros((M,), i32),
+        pt_first_kf=jnp.zeros((M,), i32),
+    )
+
+
+@dataclass
+class JournalEvent:
+    """One CARV event (the reference transcript vocabulary,
+    ``include/Modeler/SFMTranscript.h:22-33``)."""
+
+    kind: str                       # "keyframe" | "del_point" | "del_obs" | "adjust" | "reset"
+    kf: int = -1
+    cam_center: Optional[np.ndarray] = None
+    new_points: Optional[np.ndarray] = None     # [n,3] xyz of newly created points
+    new_point_ids: Optional[np.ndarray] = None  # [n] global point ids
+    vis_ids: Optional[np.ndarray] = None        # [v] point ids visible from kf
+    point_id: int = -1              # for del_point / del_obs
+    moved_ids: Optional[np.ndarray] = None      # for adjust
+    moved_xyz: Optional[np.ndarray] = None
+    moved_kfs: Optional[np.ndarray] = None
+    moved_centers: Optional[np.ndarray] = None
+
+
+@dataclass
+class MapHost:
+    """Host structure registry (single-writer; mirrors device structure)."""
+
+    cfg: SystemConfig
+    n_kf_slots: int = 0
+    kf_valid: np.ndarray = None                 # [K] bool
+    kf_frame_id: np.ndarray = None              # [K] source frame index
+    kf_timestamp: np.ndarray = None             # [K] float64
+    obs_pt: np.ndarray = None                   # [K,N] int32 mirror
+    pt_valid: np.ndarray = None                 # [M] bool
+    pt_free: List[int] = field(default_factory=list)
+    covis: np.ndarray = None                    # [K,K] int32 shared-point counts
+    parent: np.ndarray = None                   # [K] spanning-tree parent (-1 root)
+    loop_edges: Dict[int, Set[int]] = field(default_factory=dict)
+    journal: List[JournalEvent] = field(default_factory=list)
+    big_change_idx: int = 0
+
+    def __post_init__(self):
+        K = self.cfg.capacity.max_keyframes
+        N = self.cfg.orb.n_features_pad
+        M = self.cfg.capacity.max_points
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.obs_pt = np.full((K, N), -1, np.int32)
+        self.pt_valid = np.zeros(M, bool)
+        self.pt_free = list(range(M - 1, -1, -1))
+        self.covis = np.zeros((K, K), np.int32)
+        self.parent = np.full(K, -1, np.int32)
+
+    # ---------------- slot allocation ----------------
+
+    def alloc_keyframe(self) -> int:
+        K = self.cfg.capacity.max_keyframes
+        for k in range(K):
+            if not self.kf_valid[k]:
+                self.kf_valid[k] = True
+                self.n_kf_slots = max(self.n_kf_slots, k + 1)
+                return k
+        raise RuntimeError("keyframe capacity exhausted")
+
+    def alloc_points(self, n: int) -> np.ndarray:
+        if len(self.pt_free) < n:
+            raise RuntimeError("point capacity exhausted")
+        ids = np.array([self.pt_free.pop() for _ in range(n)], np.int32)
+        self.pt_valid[ids] = True
+        return ids
+
+    def free_point(self, pid: int):
+        if self.pt_valid[pid]:
+            self.pt_valid[pid] = False
+            self.pt_free.append(int(pid))
+
+    # ---------------- covisibility / spanning tree ----------------
+
+    def update_covisibility(self, kf: int):
+        """Recompute covisibility row for ``kf`` from the obs mirror
+        (KeyFrame::UpdateConnections, reference ``src/KeyFrame.cc:289-379``)."""
+        own = self.obs_pt[kf]
+        own_pts = own[own >= 0]
+        if own_pts.size == 0:
+            return
+        K = self.cfg.capacity.max_keyframes
+        pt_mask = np.zeros(self.cfg.capacity.max_points, bool)
+        pt_mask[own_pts] = True
+        counts = np.zeros(K, np.int32)
+        for j in range(self.n_kf_slots):
+            if j == kf or not self.kf_valid[j]:
+                continue
+            other = self.obs_pt[j]
+            other_pts = other[other >= 0]
+            counts[j] = int(pt_mask[other_pts].sum())
+        self.covis[kf, :] = counts
+        self.covis[:, kf] = counts
+        # Spanning tree: parent = strongest covisible among older KFs (:371-376).
+        if self.parent[kf] < 0 and kf > 0:
+            older = np.where(
+                self.kf_valid[:kf] & (counts[:kf] > 0), counts[:kf], -1
+            )
+            if older.size and older.max() > 0:
+                self.parent[kf] = int(older.argmax())
+
+    def covisible_keyframes(self, kf: int, n: int, min_weight: int = 15) -> np.ndarray:
+        """Best-covisible neighbor slots (GetBestCovisibilityKeyFrames)."""
+        w = self.covis[kf].copy()
+        w[~self.kf_valid[: len(w)]] = 0
+        w[kf] = 0
+        order = np.argsort(-w)
+        sel = order[w[order] >= max(min_weight, 1)][:n]
+        return sel.astype(np.int32)
+
+    def valid_kf_list(self) -> np.ndarray:
+        return np.where(self.kf_valid)[0].astype(np.int32)
+
+    # ---------------- observation bookkeeping ----------------
+
+    def add_observation(self, kf: int, feat: int, pid: int):
+        self.obs_pt[kf, feat] = pid
+
+    def erase_observation(self, kf: int, feat: int):
+        self.obs_pt[kf, feat] = -1
+
+    def point_observations(self, pid: int) -> List[tuple]:
+        """(kf, feat) pairs observing pid — host scan of the mirror."""
+        ks, fs = np.where(self.obs_pt[: self.n_kf_slots] == pid)
+        return list(zip(ks.tolist(), fs.tolist()))
+
+    def n_observations(self, pid: int) -> int:
+        return int((self.obs_pt[: self.n_kf_slots] == pid).sum())
+
+
+# ---------------------------------------------------------------------------
+# Jitted bulk updates
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def insert_keyframe_arrays(m: MapArrays, slot, pose, uv, octave, angle, desc,
+                           feat_valid, obs_pt_row) -> MapArrays:
+    """Write one keyframe's tensors into its slot (device scatter)."""
+    return m._replace(
+        kf_pose=m.kf_pose.at[slot].set(pose),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_uv=m.kf_uv.at[slot].set(uv),
+        kf_octave=m.kf_octave.at[slot].set(octave),
+        kf_angle=m.kf_angle.at[slot].set(angle),
+        kf_desc=m.kf_desc.at[slot].set(desc),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
+        obs_pt=m.obs_pt.at[slot].set(obs_pt_row),
+    )
+
+
+@jax.jit
+def add_points_arrays(m: MapArrays, ids, xyz, desc, normal, min_dist, max_dist,
+                      ref_kf, first_kf, valid_mask) -> MapArrays:
+    """Scatter a batch of new points into their slots.
+
+    Invalid lanes get an out-of-bounds index and are dropped by the scatter
+    (``mode="drop"``) — the jit-friendly masked write.
+    """
+    M = m.pt_xyz.shape[0]
+    safe = jnp.where(valid_mask, ids, M)  # OOB -> dropped
+    drop = dict(mode="drop")
+    return m._replace(
+        pt_xyz=m.pt_xyz.at[safe].set(xyz, **drop),
+        pt_valid=m.pt_valid.at[safe].set(True, **drop),
+        pt_desc=m.pt_desc.at[safe].set(desc, **drop),
+        pt_normal=m.pt_normal.at[safe].set(normal, **drop),
+        pt_min_dist=m.pt_min_dist.at[safe].set(min_dist, **drop),
+        pt_max_dist=m.pt_max_dist.at[safe].set(max_dist, **drop),
+        pt_ref_kf=m.pt_ref_kf.at[safe].set(ref_kf, **drop),
+        pt_first_kf=m.pt_first_kf.at[safe].set(first_kf, **drop),
+        pt_visible=m.pt_visible.at[safe].set(1, **drop),
+        pt_found=m.pt_found.at[safe].set(1, **drop),
+    )
+
+
+@jax.jit
+def invalidate_points(m: MapArrays, ids, mask) -> MapArrays:
+    safe = jnp.where(mask, ids, m.pt_xyz.shape[0])
+    return m._replace(pt_valid=m.pt_valid.at[safe].set(False, mode="drop"))
+
+
+@jax.jit
+def update_point_stats(m: MapArrays) -> MapArrays:
+    """Recompute viewing normals + scale-invariance distance bounds for all
+    points from the observation table (MapPoint::UpdateNormalAndDepth,
+    reference ``src/MapPoint.cc:339-392``) — one batched pass over all
+    (keyframe, feature) slots instead of per-point loops."""
+    K, N = m.obs_pt.shape
+    M = m.pt_xyz.shape[0]
+    obs = m.obs_pt.reshape(-1)
+    obs_valid = (obs >= 0) & m.kf_feat_valid.reshape(-1)
+    seg = jnp.where(obs_valid, obs, M)  # invalid -> dropped segment M
+
+    from orb_slam_free_space_carving_tpu.utils import lie
+
+    centers = lie.se3_inverse(m.kf_pose)[:, 4:7]             # [K,3]
+    cam_of_obs = jnp.repeat(centers, N, axis=0)              # [K*N,3]
+    pt_of_obs = m.pt_xyz[jnp.clip(obs, 0, M - 1)]
+    d = pt_of_obs - cam_of_obs
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    normal_sum = jax.ops.segment_sum(
+        jnp.where(obs_valid[:, None], dn, 0.0), seg, num_segments=M + 1
+    )[:M]
+    cnt = jax.ops.segment_sum(
+        obs_valid.astype(jnp.float32), seg, num_segments=M + 1
+    )[:M]
+    normal = normal_sum / jnp.maximum(cnt[:, None], 1.0)
+    return m._replace(
+        pt_normal=jnp.where(cnt[:, None] > 0, normal, m.pt_normal)
+    )

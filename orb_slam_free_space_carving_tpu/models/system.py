@@ -1,0 +1,160 @@
+"""System facade: the public engine API.
+
+Mirrors the reference ``System`` (``src/System.cc``): construction wires the
+pipeline stages and cross-pointers (``:101-136``), ``track_monocular`` is the
+per-frame entry returning Tcw (``:241-291``), plus localization-mode latches,
+reset, shutdown, trajectory writers (``:346-496``) and state queries
+(``:498-514``).  Differences by design: stages run inline (deterministic) or
+via the async host runtime instead of pthreads; there is no vocabulary file to
+load (the BoW stage builds its projection vocabulary procedurally).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import SystemConfig, load_settings
+from orb_slam_free_space_carving_tpu.models import map_state as ms
+from orb_slam_free_space_carving_tpu.models.local_mapping import LocalMapper
+from orb_slam_free_space_carving_tpu.models.tracking import (
+    LOST, NOT_INITIALIZED, NO_IMAGES_YET, OK, Tracker,
+)
+
+MONOCULAR = "monocular"
+STEREO = "stereo"
+RGBD = "rgbd"
+
+
+class System:
+    def __init__(self, cfg: Optional[SystemConfig] = None,
+                 settings_file: Optional[str] = None,
+                 sensor: str = MONOCULAR,
+                 use_viewer: bool = False,
+                 enable_loop_closing: bool = True,
+                 enable_carving: bool = True):
+        if cfg is None:
+            cfg = load_settings(settings_file, sensor=sensor)
+        self.cfg = cfg
+        self.map_host = ms.MapHost(cfg)
+        self._map_ref = [ms.empty_map_arrays(cfg)]
+
+        self.carver = None
+        if enable_carving:
+            from orb_slam_free_space_carving_tpu.models.carver import Carver
+
+            self.carver = Carver(cfg, self._map_ref, self.map_host)
+
+        self.loop_closer = None
+        if enable_loop_closing:
+            from orb_slam_free_space_carving_tpu.models.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg, self._map_ref, self.map_host)
+
+        self.local_mapper = LocalMapper(
+            cfg, self._map_ref, self.map_host, loop_closer=self.loop_closer
+        )
+        self.tracker = Tracker(
+            cfg, self._map_ref, self.map_host,
+            local_mapper=self.local_mapper,
+            relocalizer=self.loop_closer,
+        )
+        if self.loop_closer is not None:
+            self.loop_closer.local_mapper = self.local_mapper
+        self.localization_only = False
+
+    # ------------------------------------------------------------------
+    @property
+    def map_arrays(self) -> ms.MapArrays:
+        return self._map_ref[0]
+
+    def track_monocular(self, img: np.ndarray, timestamp: float) -> np.ndarray:
+        """Per-frame entry: grayscale uint8 [H,W] -> pose7 Tcw (np.float32)."""
+        if img.ndim == 3:
+            img = img.mean(axis=-1).astype(np.uint8)
+        pose = self.tracker.track(img, timestamp)
+        if self.carver is not None:
+            self.carver.poll()
+        return pose
+
+    # Reference API aliases -------------------------------------------------
+    TrackMonocular = track_monocular
+
+    def activate_localization_mode(self):
+        """System.cc:293-297 — stop mapping, track only."""
+        self.localization_only = True
+        self.tracker.local_mapper = None
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.local_mapper = self.local_mapper
+
+    def reset(self):
+        """System::Reset cascade (Tracking.cc:1514-1561)."""
+        if self.carver is not None:
+            self.carver.on_reset()
+        self.map_host = ms.MapHost(self.cfg)
+        self._map_ref[0] = ms.empty_map_arrays(self.cfg)
+        self.local_mapper.host = self.map_host
+        self.tracker.host = self.map_host
+        self.tracker.state = NO_IMAGES_YET
+        self.tracker.init_frame = None
+        self.tracker.last_frame = None
+        self.tracker.velocity = None
+        self.tracker.ref_kf = -1
+        self.local_mapper.recent_points = []
+        self.local_mapper.kf_counter = 0
+        if self.loop_closer is not None:
+            self.loop_closer.host = self.map_host
+            self.loop_closer.reset()
+        if self.carver is not None:
+            self.carver.host = self.map_host
+
+    def shutdown(self):
+        """Flush async stages (inline mode: finalize carving mesh)."""
+        if self.carver is not None:
+            self.carver.finalize()
+
+    # ------------------------------------------------------------------
+    def get_tracking_state(self) -> int:
+        return self.tracker.state
+
+    def get_tracked_points(self) -> int:
+        return self.tracker.n_tracked
+
+    def keyframe_trajectory(self):
+        """(timestamps, poses7 Tcw) of valid keyframes, ordered by frame id."""
+        host = self.map_host
+        kfs = host.valid_kf_list()
+        order = np.argsort(host.kf_frame_id[kfs])
+        kfs = kfs[order]
+        poses = np.asarray(self.map_arrays.kf_pose)[kfs]
+        return host.kf_timestamp[kfs], poses
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """System::SaveKeyFrameTrajectoryTUM (System.cc:407-441)."""
+        from orb_slam_free_space_carving_tpu.utils import trajectory
+
+        ts, poses = self.keyframe_trajectory()
+        trajectory.save_trajectory_tum(path, ts, poses)
+
+    def save_trajectory_tum(self, path: str):
+        from orb_slam_free_space_carving_tpu.utils import trajectory
+
+        traj = self.tracker.trajectory
+        ts = [t for t, _, s in traj if s == OK]
+        poses = np.stack([p for _, p, s in traj if s == OK])
+        trajectory.save_trajectory_tum(path, ts, poses)
+
+    def frame_trajectory(self):
+        """(timestamps, poses7, states) for every tracked frame."""
+        traj = self.tracker.trajectory
+        ts = np.array([t for t, _, _ in traj])
+        poses = np.stack([p for _, p, _ in traj]) if traj else np.zeros((0, 7))
+        states = np.array([s for _, _, s in traj])
+        return ts, poses, states
+
+    def save_mesh_obj(self, path: str):
+        if self.carver is not None:
+            self.carver.save_obj(path)

@@ -1,0 +1,629 @@
+"""Tracking: per-frame localization state machine.
+
+TPU re-design of ``Tracking`` (reference ``src/Tracking.cc``).  The state
+machine {NO_IMAGES_YET, NOT_INITIALIZED, OK, LOST} (``Tracking.h:93-99``) and
+its decision thresholds live on the host; every numeric step is a jitted
+batched kernel:
+
+- monocular initialization = windowed bootstrap match + batched H/F RANSAC
+  (``MonocularInitialization`` ``Tracking.cc:572-746`` -> ops/twoview.py);
+- TrackWithMotionModel (``:876-937``) = constant-velocity prediction +
+  projection-window Hamming matching + motion-only GN
+  (ops/matching.py + ops/pose_opt.py);
+- TrackReferenceKeyFrame (``:766-808``) = unwindowed ratio matching against the
+  reference keyframe + the same GN;
+- TrackLocalMap (``:939-983``) = frustum culling + scale-predicted projection
+  matching over the covisibility-local point set + GN;
+- Relocalization (``:1350-1511``) = place-recognition candidates + batched PnP
+  RANSAC (ops/pnp.py), wired once the BoW stage exists.
+
+The keyframe decision c1a/c1b/c1c & c2 (``:986-1070``) is preserved
+behaviorally on host scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_free_space_carving_tpu.config import SystemConfig
+from orb_slam_free_space_carving_tpu.models import map_state as ms
+from orb_slam_free_space_carving_tpu.models.frame import FrameBuilder, FrameData
+from orb_slam_free_space_carving_tpu.ops import ba, matching, pose_opt, triangulation as tri, twoview
+from orb_slam_free_space_carving_tpu.utils import camera, lie
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+# Fixed capacity of the local-map point set handed to TrackLocalMap.
+LOCAL_POINTS_CAP = 2048
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _match_for_init(feat_a, feat_b, window, max_dist, ratio):
+    return matching.search_for_initialization(
+        feat_a, feat_b, window=window, max_dist=max_dist, ratio=ratio
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def _init_two_view(uv1, uv2, mask, intr, key, n_samples=256):
+    return twoview.initialize_two_view(uv1, uv2, mask, intr, key, n_samples=n_samples)
+
+
+@jax.jit
+def _track_motion_step(pose_pred, pt_xyz, pt_desc, pt_octave, pt_mask, frame_feat,
+                       frame_inv_sigma2, intr, radius, scale_factor, wh):
+    """Project candidate points, window-match, pose-optimize.
+
+    Returns (pose, feat->point match idx [N], n_inliers).
+    """
+    xc = lie.se3_apply(pose_pred, pt_xyz)
+    uv = camera.project(xc, intr)
+    vis = (xc[..., 2] > 0.05) & camera.in_image(uv, wh[0], wh[1]) & pt_mask
+    idx, _best = matching.search_by_projection_points(
+        uv, pt_octave, pt_desc, vis, frame_feat,
+        radius_base=radius, scale_factor=scale_factor,
+        max_dist=100.0, ratio=0.9,
+    )
+    # Build pose-opt problem: one obs per matched point.
+    matched = idx >= 0
+    sel_feat = jnp.clip(idx, 0, frame_feat.capacity - 1)
+    obs_uv = frame_feat.uv_und[sel_feat]
+    obs_is2 = frame_inv_sigma2[sel_feat]
+    res = pose_opt.optimize_pose(
+        pose_pred, pt_xyz, obs_uv, obs_is2, matched, intr
+    )
+    return res.pose, idx, res.inliers, res.n_inliers
+
+
+@jax.jit
+def _track_localmap_step(pose, pt_xyz, pt_desc, pt_mask, pt_maxdist, pt_normal,
+                         already_ids, frame_feat, frame_inv_sigma2,
+                         cur_track_pt, intr, scale_factor, n_levels, wh):
+    """SearchLocalPoints + pose refinement (``Tracking.cc:939-983,1152-1202``).
+
+    ``already_ids`` are point ids already matched this frame (excluded from the
+    new search but included in the final optimization via cur_track_pt).
+    """
+    ok, uv, z, dist, view_cos = camera.in_frustum(
+        pt_xyz, pose, intr, wh[0], wh[1],
+        min_dist=None, max_dist=None, normals_w=pt_normal,
+        view_cos_limit=0.5,
+    )
+    vis = ok & pt_mask
+    pred_level = camera.predict_scale_level(dist, pt_maxdist, scale_factor, n_levels)
+    idx, _ = matching.search_by_projection_points(
+        uv, pred_level, pt_desc, vis, frame_feat,
+        radius_base=4.0, scale_factor=scale_factor,
+        max_dist=50.0, ratio=0.8,
+    )
+    # Merge: features already bound to a tracked point keep their binding.
+    feat_has_pt = cur_track_pt >= 0
+    # For each local point p matched to feature f: bind if f unbound.
+    sel = jnp.clip(idx, 0, frame_feat.capacity - 1)
+    can_bind = (idx >= 0) & ~feat_has_pt[sel]
+    return jnp.where(can_bind, idx, -1), vis
+
+
+@jax.jit
+def _pose_opt_from_bindings(pose, track_pt, pt_xyz_all, frame_feat,
+                            frame_inv_sigma2, intr):
+    """Final pose optimization over every feature->point binding of the frame."""
+    bound = track_pt >= 0
+    sel_pt = jnp.clip(track_pt, 0, pt_xyz_all.shape[0] - 1)
+    pts = pt_xyz_all[sel_pt]
+    res = pose_opt.optimize_pose(
+        pose, pts, frame_feat.uv_und, frame_inv_sigma2, bound, intr
+    )
+    return res.pose, res.inliers, res.n_inliers
+
+
+@jax.jit
+def _counter_update(m: ms.MapArrays, visible_ids, vis_mask, found_ids, found_mask):
+    M = m.pt_xyz.shape[0]
+    vsafe = jnp.where(vis_mask, visible_ids, M)
+    fsafe = jnp.where(found_mask, found_ids, M)
+    return m._replace(
+        pt_visible=m.pt_visible.at[vsafe].add(1, mode="drop"),
+        pt_found=m.pt_found.at[fsafe].add(1, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
+                obs_uv, obs_is2, obs_mask, intr, iterations=20):
+    prob = ba.BAProblem(
+        cam_poses=cam_poses, cam_free=cam_free, points=points,
+        point_valid=point_valid, obs_cam=obs_cam, obs_point=obs_point,
+        obs_uv=obs_uv, obs_inv_sigma2=obs_is2, obs_mask=obs_mask,
+    )
+    return ba.ba_solve(prob, intr, iterations=iterations)
+
+
+# ---------------------------------------------------------------------------
+# Tracker
+# ---------------------------------------------------------------------------
+
+class Tracker:
+    def __init__(self, cfg: SystemConfig, map_arrays_ref, map_host: ms.MapHost,
+                 local_mapper=None, relocalizer=None):
+        self.cfg = cfg
+        self.builder = FrameBuilder(cfg)
+        self.intr = camera.intrinsics_array(cfg.camera)
+        self.wh = (cfg.camera.width, cfg.camera.height)
+        self._map_ref = map_arrays_ref      # single-element list (shared cell)
+        self.host = map_host
+        self.local_mapper = local_mapper
+        self.relocalizer = relocalizer
+
+        self.state = NO_IMAGES_YET
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.velocity = None                 # [7] relative pose T_cur_last
+        self.last_frame: Optional[FrameData] = None
+        self.last_track_pt: Optional[np.ndarray] = None   # [N] point ids
+        self.init_frame: Optional[FrameData] = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_idx = -1
+        self.frame_idx = -1
+        self.trajectory = []                 # (timestamp, pose7 np, state)
+        self.n_tracked = 0
+
+    @property
+    def m(self) -> ms.MapArrays:
+        return self._map_ref[0]
+
+    @m.setter
+    def m(self, v):
+        self._map_ref[0] = v
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+    def track(self, img: np.ndarray, timestamp: float) -> np.ndarray:
+        """Process one frame; returns pose7 Tcw (np) or identity if lost."""
+        self.frame_idx += 1
+        frame = self.builder(img)
+
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self._monocular_initialization(frame, timestamp)
+        else:
+            self._track_frame(frame, timestamp)
+
+        pose = np.asarray(frame.pose if self.last_frame is None else self.last_frame.pose)
+        self.trajectory.append((timestamp, pose.copy(), self.state))
+        return pose
+
+    # ------------------------------------------------------------------
+    # Monocular initialization (Tracking.cc:572-746)
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, frame: FrameData, timestamp: float):
+        n_valid = int(jnp.sum(frame.feat.valid))
+        if self.init_frame is None or self.state == NO_IMAGES_YET:
+            if n_valid >= self.cfg.tracking.min_init_matches:
+                self.init_frame = frame
+                self.init_timestamp = timestamp
+                self.state = NOT_INITIALIZED
+            self.last_frame = frame
+            return
+
+        if n_valid < self.cfg.tracking.min_init_matches:
+            self.init_frame = None
+            self.last_frame = frame
+            return
+
+        mcfg = self.cfg.matcher
+        idx = _match_for_init(
+            self.init_frame.feat, frame.feat,
+            mcfg.search_radius_init, float(mcfg.th_low), mcfg.nn_ratio_tracking,
+        )
+        idx_np = np.asarray(idx)
+        n_matches = int((idx_np >= 0).sum())
+        if n_matches < self.cfg.tracking.min_init_matches:
+            # Weak geometry: drop the init reference (Tracking.cc:598-617).
+            self.init_frame = frame
+            self.init_timestamp = timestamp
+            self.last_frame = frame
+            return
+
+        sel = jnp.clip(idx, 0, frame.feat.capacity - 1)
+        uv1 = self.init_frame.feat.uv_und
+        uv2 = frame.feat.uv_und[sel]
+        res = _init_two_view(uv1, uv2, idx >= 0, self.intr, self._next_key())
+        if not bool(res.ok):
+            self.last_frame = frame
+            return
+
+        self._create_initial_map(frame, timestamp, idx_np, res)
+
+    def _create_initial_map(self, frame, timestamp, idx_np, res: twoview.TwoViewResult):
+        """CreateInitialMapMonocular (Tracking.cc:646-746): two keyframes, the
+        triangulated inliers as points, 20-iteration BA, median-depth gauge fix."""
+        inl = np.asarray(res.inliers) & (idx_np >= 0)
+        n_pts = int(inl.sum())
+        if n_pts < 50:
+            self.last_frame = frame
+            return
+
+        pts = np.asarray(res.points)[inl]                   # [n,3]
+        feats1 = np.where(inl)[0]                           # feature idx in init frame
+        feats2 = idx_np[inl]                                # feature idx in cur frame
+
+        # Median-depth normalization (Tracking.cc:709-731).
+        depths = pts[:, 2]
+        med = float(np.median(depths))
+        if med <= 0:
+            self.last_frame = frame
+            return
+        pts = pts / med
+        pose2 = np.asarray(res.pose21)
+        pose2[4:7] /= med
+
+        # Allocate keyframes + points.
+        kf1 = self.host.alloc_keyframe()
+        kf2 = self.host.alloc_keyframe()
+        pids = self.host.alloc_points(n_pts)
+
+        N = frame.feat.capacity
+        obs1 = np.full(N, -1, np.int32)
+        obs2 = np.full(N, -1, np.int32)
+        obs1[feats1] = pids
+        obs2[feats2] = pids
+        self.host.obs_pt[kf1] = obs1
+        self.host.obs_pt[kf2] = obs2
+        self.host.kf_frame_id[kf1] = self.frame_idx - 1
+        self.host.kf_frame_id[kf2] = self.frame_idx
+        self.host.kf_timestamp[kf1] = self.init_timestamp
+        self.host.kf_timestamp[kf2] = timestamp
+
+        f1, f2 = self.init_frame.feat, frame.feat
+        m = self.m
+        m = ms.insert_keyframe_arrays(
+            m, kf1, lie.se3_identity(), f1.uv_und, f1.octave, f1.angle,
+            f1.desc, f1.valid, jnp.asarray(obs1),
+        )
+        m = ms.insert_keyframe_arrays(
+            m, kf2, jnp.asarray(pose2), f2.uv_und, f2.octave, f2.angle,
+            f2.desc, f2.valid, jnp.asarray(obs2),
+        )
+        # Point attributes: descriptor from frame-2 feature, distances from kf2.
+        desc = f2.desc[jnp.asarray(feats2)]
+        ids = jnp.asarray(pids)
+        xyz = jnp.asarray(pts, jnp.float32)
+        centers2 = np.asarray(lie.se3_inverse(jnp.asarray(pose2)))[4:7]
+        d = np.linalg.norm(pts - centers2, axis=-1)
+        sf = self.cfg.orb.scale_factor
+        oct2 = np.asarray(f2.octave)[feats2]
+        max_dist = d * (sf ** oct2)
+        min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
+        normal = (pts - centers2) / np.maximum(d[:, None], 1e-9)
+        m = ms.add_points_arrays(
+            m, ids, xyz, desc, jnp.asarray(normal, jnp.float32),
+            jnp.asarray(min_dist, jnp.float32), jnp.asarray(max_dist, jnp.float32),
+            jnp.full(n_pts, kf2, jnp.int32), jnp.full(n_pts, kf1, jnp.int32),
+            jnp.ones(n_pts, bool),
+        )
+
+        # Global BA over the 2-view map (Tracking.cc:695, 20 iterations).
+        O = 2 * n_pts
+        cap_o = self.cfg.capacity.local_ba_obs
+        obs_cam = np.zeros(cap_o, np.int32)
+        obs_point = np.zeros(cap_o, np.int32)
+        obs_uv = np.zeros((cap_o, 2), np.float32)
+        obs_is2 = np.ones(cap_o, np.float32)
+        obs_mask = np.zeros(cap_o, bool)
+        uv1_np = np.asarray(f1.uv_und)
+        uv2_np = np.asarray(f2.uv_und)
+        is1 = np.asarray(self.init_frame.inv_sigma2)
+        is2v = np.asarray(frame.inv_sigma2)
+        obs_cam[:n_pts] = 0
+        obs_point[:n_pts] = np.arange(n_pts)
+        obs_uv[:n_pts] = uv1_np[feats1]
+        obs_is2[:n_pts] = is1[feats1]
+        obs_cam[n_pts:O] = 1
+        obs_point[n_pts:O] = np.arange(n_pts)
+        obs_uv[n_pts:O] = uv2_np[feats2]
+        obs_is2[n_pts:O] = is2v[feats2]
+        obs_mask[:O] = True
+
+        pad_p = self.cfg.capacity.local_ba_points
+        pts_pad = np.zeros((pad_p, 3), np.float32)
+        pts_pad[:n_pts] = pts
+        ptv = np.zeros(pad_p, bool)
+        ptv[:n_pts] = True
+
+        bares = _initial_ba(
+            jnp.stack([lie.se3_identity(), jnp.asarray(pose2)]),
+            jnp.asarray([False, True]),
+            jnp.asarray(pts_pad), jnp.asarray(ptv),
+            jnp.asarray(obs_cam), jnp.asarray(obs_point),
+            jnp.asarray(obs_uv), jnp.asarray(obs_is2), jnp.asarray(obs_mask),
+            self.intr,
+        )
+        pose2_ba = bares.cam_poses[1]
+        pts_ba = bares.points[:n_pts]
+        m = m._replace(
+            kf_pose=m.kf_pose.at[kf2].set(pose2_ba),
+            pt_xyz=m.pt_xyz.at[ids].set(pts_ba),
+        )
+        self.m = ms.update_point_stats(m)
+
+        self.host.update_covisibility(kf1)
+        self.host.update_covisibility(kf2)
+        self.host.parent[kf2] = kf1
+
+        # CARV journal: first + second keyframe insertion events.
+        c1 = np.zeros(3)
+        c2 = np.asarray(lie.se3_inverse(pose2_ba))[4:7]
+        self.host.journal.append(ms.JournalEvent(
+            kind="keyframe", kf=kf1, cam_center=c1,
+            new_points=np.asarray(pts_ba), new_point_ids=np.asarray(pids),
+            vis_ids=np.asarray(pids),
+        ))
+        self.host.journal.append(ms.JournalEvent(
+            kind="keyframe", kf=kf2, cam_center=np.asarray(c2),
+            new_points=np.zeros((0, 3)), new_point_ids=np.zeros(0, np.int64),
+            vis_ids=np.asarray(pids),
+        ))
+
+        # Tracking state.
+        track_pt = np.full(N, -1, np.int32)
+        track_pt[feats2] = pids
+        self.last_track_pt = track_pt
+        self.last_frame = frame._replace(pose=pose2_ba)
+        self.ref_kf = kf2
+        self.last_kf_frame_idx = self.frame_idx
+        self.velocity = None
+        self.state = OK
+        self.n_tracked = n_pts
+
+        if self.local_mapper is not None:
+            self.local_mapper.on_keyframe(kf1)
+            self.local_mapper.on_keyframe(kf2)
+
+    # ------------------------------------------------------------------
+    # Frame-to-frame tracking
+    # ------------------------------------------------------------------
+    def _track_frame(self, frame: FrameData, timestamp: float):
+        tcfg = self.cfg.tracking
+        m = self.m
+        tracked_ok = False
+        track_pt = np.full(frame.feat.capacity, -1, np.int32)
+
+        if self.state == OK:
+            if self.velocity is not None:
+                tracked_ok, track_pt, pose = self._track_with_motion_model(frame)
+            if not tracked_ok:
+                tracked_ok, track_pt, pose = self._track_reference_keyframe(frame)
+        if self.state == LOST or not tracked_ok:
+            reloc_ok = False
+            if self.relocalizer is not None:
+                reloc_ok, track_pt, pose = self.relocalizer.relocalize(frame)
+            if not reloc_ok:
+                self.state = LOST
+                self.last_frame = frame._replace(
+                    pose=self.last_frame.pose if self.last_frame else frame.pose
+                )
+                self.velocity = None
+                return
+            tracked_ok = True
+
+        frame = frame._replace(pose=pose)
+
+        # Track local map.
+        frame, track_pt, n_inliers = self._track_local_map(frame, track_pt)
+        min_required = (
+            tcfg.min_matches_track_localmap
+        )
+        if n_inliers < min_required:
+            self.state = LOST
+            self.velocity = None
+            self.last_frame = frame
+            self.last_track_pt = track_pt
+            return
+
+        self.state = OK
+        self.n_tracked = n_inliers
+
+        # Constant-velocity model update (Tracking.cc:451-459).
+        if self.last_frame is not None:
+            self.velocity = np.asarray(
+                lie.se3_compose(frame.pose, lie.se3_inverse(self.last_frame.pose))
+            )
+
+        # Keyframe decision + creation.
+        if self._need_new_keyframe(n_inliers):
+            self._create_new_keyframe(frame, timestamp, track_pt)
+
+        self.last_frame = frame
+        self.last_track_pt = track_pt
+
+    def _track_with_motion_model(self, frame: FrameData):
+        """Tracking.cc:876-937."""
+        m = self.m
+        pose_pred = lie.se3_compose(
+            jnp.asarray(self.velocity), self.last_frame.pose
+        )
+        last_pt = self.last_track_pt
+        cand = last_pt >= 0
+        pt_ids = np.where(cand, last_pt, 0)
+        pt_ids_j = jnp.asarray(pt_ids)
+        pt_xyz = m.pt_xyz[pt_ids_j]
+        pt_desc = m.pt_desc[pt_ids_j]
+        pt_valid = m.pt_valid[pt_ids_j] & jnp.asarray(cand)
+        pt_octave = jnp.asarray(np.asarray(self.last_frame.feat.octave))
+        pose, idx, inliers, n_inl = _track_motion_step(
+            pose_pred, pt_xyz, pt_desc, pt_octave, pt_valid,
+            frame.feat, frame.inv_sigma2, self.intr,
+            self.cfg.matcher.search_radius_motion, self.cfg.orb.scale_factor,
+            self.wh,
+        )
+        n = int(n_inl)
+        idx_np = np.asarray(idx)
+        inl_np = np.asarray(inliers)
+        track_pt = np.full(frame.feat.capacity, -1, np.int32)
+        ok_rows = (idx_np >= 0) & inl_np
+        track_pt[idx_np[ok_rows]] = last_pt[ok_rows]
+        return n >= self.cfg.tracking.min_matches_track, track_pt, pose
+
+    def _track_reference_keyframe(self, frame: FrameData):
+        """Tracking.cc:766-808: match against ref KF, optimize from last pose."""
+        m = self.m
+        kf = self.ref_kf
+        if kf < 0:
+            return False, np.full(frame.feat.capacity, -1, np.int32), frame.pose
+        kf_obs = self.host.obs_pt[kf]
+        cand = kf_obs >= 0
+        pt_ids = np.where(cand, kf_obs, 0)
+        pt_ids_j = jnp.asarray(pt_ids)
+        pt_xyz = m.pt_xyz[pt_ids_j]
+        pt_desc = m.pt_desc[pt_ids_j]
+        pt_valid = m.pt_valid[pt_ids_j] & jnp.asarray(cand)
+        pt_octave = m.kf_octave[kf]
+        # Wide search from the last pose (BoW-free stand-in for SearchByBoW).
+        pose, idx, inliers, n_inl = _track_motion_step(
+            self.last_frame.pose, pt_xyz, pt_desc, pt_octave, pt_valid,
+            frame.feat, frame.inv_sigma2, self.intr,
+            self.cfg.matcher.search_radius_init, self.cfg.orb.scale_factor,
+            self.wh,
+        )
+        n = int(n_inl)
+        idx_np = np.asarray(idx)
+        inl_np = np.asarray(inliers)
+        track_pt = np.full(frame.feat.capacity, -1, np.int32)
+        ok_rows = (idx_np >= 0) & inl_np
+        track_pt[idx_np[ok_rows]] = pt_ids[ok_rows]
+        return n >= self.cfg.tracking.min_matches_track, track_pt, pose
+
+    def _local_point_ids(self, track_pt: np.ndarray) -> np.ndarray:
+        """Local map point set: points of covisible KFs of the ref KF
+        (UpdateLocalKeyFrames/Points, Tracking.cc:1204-1348), capacity-padded."""
+        kfs = set()
+        seen_pts = track_pt[track_pt >= 0]
+        # Keyframes observing currently tracked points:
+        if seen_pts.size:
+            sub = self.host.obs_pt[: self.host.n_kf_slots]
+            mask = np.isin(sub, seen_pts)
+            kf_hits = np.where(mask.any(axis=1))[0]
+            for k in kf_hits:
+                kfs.add(int(k))
+        if self.ref_kf >= 0:
+            kfs.add(self.ref_kf)
+            for k in self.host.covisible_keyframes(self.ref_kf, 10, min_weight=1):
+                kfs.add(int(k))
+        more = set()
+        for k in list(kfs)[: self.cfg.tracking.local_map_max_keyframes]:
+            for j in self.host.covisible_keyframes(k, 5, min_weight=1):
+                more.add(int(j))
+        kfs |= more
+        kfs = list(kfs)[: self.cfg.tracking.local_map_max_keyframes]
+        ids = np.unique(self.host.obs_pt[kfs])
+        ids = ids[ids >= 0]
+        ids = ids[self.host.pt_valid[ids]]
+        if ids.size > LOCAL_POINTS_CAP:
+            ids = ids[:LOCAL_POINTS_CAP]
+        out = np.zeros(LOCAL_POINTS_CAP, np.int32)
+        msk = np.zeros(LOCAL_POINTS_CAP, bool)
+        out[: ids.size] = ids
+        msk[: ids.size] = True
+        return out, msk
+
+    def _track_local_map(self, frame: FrameData, track_pt: np.ndarray):
+        m = self.m
+        ids, idmask = self._local_point_ids(track_pt)
+        ids_j = jnp.asarray(ids)
+        pt_xyz = m.pt_xyz[ids_j]
+        pt_desc = m.pt_desc[ids_j]
+        pt_valid = m.pt_valid[ids_j] & jnp.asarray(idmask)
+        pt_maxd = m.pt_max_dist[ids_j]
+        pt_norm = m.pt_normal[ids_j]
+        # Exclude already-tracked points from the new search.
+        already = np.isin(ids, track_pt[track_pt >= 0])
+        pt_valid = pt_valid & jnp.asarray(~already)
+
+        new_idx, vis = _track_localmap_step(
+            frame.pose, pt_xyz, pt_desc, pt_valid, pt_maxd, pt_norm,
+            jnp.asarray(already), frame.feat, frame.inv_sigma2,
+            jnp.asarray(track_pt), self.intr,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
+        )
+        new_idx_np = np.asarray(new_idx)
+        rows = new_idx_np >= 0
+        track_pt = track_pt.copy()
+        track_pt[new_idx_np[rows]] = ids[rows]
+
+        pose, inliers, n_inl = _pose_opt_from_bindings(
+            frame.pose, jnp.asarray(track_pt), m.pt_xyz, frame.feat,
+            frame.inv_sigma2, self.intr,
+        )
+        inl_np = np.asarray(inliers)
+        track_pt = np.where(inl_np | (track_pt < 0), track_pt, -1)
+        # Visible/found counters (MapPoint::IncreaseVisible/Found).
+        vis_np = np.asarray(vis) | already
+        found_ids = track_pt[track_pt >= 0]
+        found_pad = np.zeros(LOCAL_POINTS_CAP, np.int32)
+        found_mask = np.zeros(LOCAL_POINTS_CAP, bool)
+        fz = min(found_ids.size, LOCAL_POINTS_CAP)
+        found_pad[:fz] = found_ids[:fz]
+        found_mask[:fz] = True
+        self.m = _counter_update(
+            m, ids_j, jnp.asarray(vis_np & idmask),
+            jnp.asarray(found_pad), jnp.asarray(found_mask),
+        )
+        return frame._replace(pose=pose), track_pt, int(n_inl)
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, n_inliers: int) -> bool:
+        """Keyframe policy c1a|c1b|c1c & c2 (Tracking.cc:986-1070)."""
+        tcfg = self.cfg.tracking
+        if self.ref_kf < 0:
+            return False
+        mapper_idle = self.local_mapper is None or self.local_mapper.is_idle()
+        # Reference tracked count: matches in ref KF.
+        ref_obs = self.host.obs_pt[self.ref_kf]
+        n_ref = int((ref_obs >= 0).sum())
+        frames_since = self.frame_idx - self.last_kf_frame_idx
+        c1a = frames_since >= tcfg.max_frames_between_kf
+        c1b = frames_since >= tcfg.min_frames_between_kf and mapper_idle
+        c1c = n_inliers < n_ref * 0.25
+        c2 = n_inliers < n_ref * tcfg.kf_min_ratio_refkf and n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _create_new_keyframe(self, frame: FrameData, timestamp: float,
+                             track_pt: np.ndarray):
+        """Tracking.cc:1072-1150 + CARV AddKeyFrameEntry hook."""
+        kf = self.host.alloc_keyframe()
+        self.host.obs_pt[kf] = track_pt
+        self.host.kf_frame_id[kf] = self.frame_idx
+        self.host.kf_timestamp[kf] = timestamp
+        f = frame.feat
+        self.m = ms.insert_keyframe_arrays(
+            self.m, kf, frame.pose, f.uv_und, f.octave, f.angle, f.desc,
+            f.valid, jnp.asarray(track_pt),
+        )
+        self.host.update_covisibility(kf)
+        self.ref_kf = kf
+        self.last_kf_frame_idx = self.frame_idx
+
+        # CARV event: new cam + visibility list (Modeler::AddKeyFrameEntry).
+        center = np.asarray(lie.se3_inverse(frame.pose))[4:7]
+        vis_ids = track_pt[track_pt >= 0]
+        self.host.journal.append(ms.JournalEvent(
+            kind="keyframe", kf=kf, cam_center=center,
+            new_points=np.zeros((0, 3)), new_point_ids=np.zeros(0, np.int64),
+            vis_ids=vis_ids.copy(),
+        ))
+        if self.local_mapper is not None:
+            self.local_mapper.on_keyframe(kf)
