@@ -471,14 +471,18 @@ class LocalMapper:
         res.cam_poses.block_until_ready()
         self.ba_times_ms.append(1e3 * (time.perf_counter() - t0))
 
-        # Write back poses + points.
+        # Write back poses + points (pad slot indices to capacity C; unused
+        # and fixed lanes get an OOB index and are dropped by the scatter).
         new_poses = res.cam_poses
         new_pts = res.points
-        kf_idx = jnp.asarray([k for k in all_kfs], jnp.int32)
-        freemask = jnp.asarray(cam_free)
+        K = m.kf_pose.shape[0]
+        kf_idx_pad = np.full(C, K, np.int64)
+        for i, k in enumerate(all_kfs):
+            if cam_free[i]:
+                kf_idx_pad[i] = k
         m = m._replace(
-            kf_pose=m.kf_pose.at[kf_idx].set(
-                jnp.where(freemask[:, None], new_poses, m.kf_pose[kf_idx])
+            kf_pose=m.kf_pose.at[jnp.asarray(kf_idx_pad)].set(
+                new_poses, mode="drop"
             ),
             pt_xyz=m.pt_xyz.at[jnp.asarray(pt_ids)].set(
                 new_pts[: pt_ids.size]

@@ -268,7 +268,7 @@ class Tracker:
             self.last_frame = frame
             return
         pts = pts / med
-        pose2 = np.asarray(res.pose21)
+        pose2 = np.asarray(res.pose21).copy()
         pose2[4:7] /= med
 
         # Allocate keyframes + points.

@@ -33,11 +33,27 @@ class Quad:
         return n / np.linalg.norm(n)
 
 
-def _block_texture(rng, cells=48, size=384, low=30, high=225):
-    """Blocky random texture: sharp cell boundaries give FAST corners."""
-    base = rng.integers(low, high, size=(cells, cells)).astype(np.float32)
-    idx = (np.arange(size) * cells) // size
-    return base[np.ix_(idx, idx)]
+def _block_texture(rng, cells=16, size=384, low=30, high=225):
+    """Multi-scale random texture: sharp corners + unique local appearance.
+
+    Three block layers at co-prime cell counts make every neighborhood
+    distinct (self-similar single-scale blocks cause wrong descriptor matches);
+    sparse corners keep detection repeatable; a soft blur avoids aliasing
+    shimmer under camera motion.
+    """
+    img = np.zeros((size, size), np.float32)
+    for c, w in ((cells, 1.0), (cells * 3 + 1, 0.45), (cells * 7 + 3, 0.2)):
+        base = rng.standard_normal((c, c)).astype(np.float32)
+        idx = (np.arange(size) * c) // size
+        img += w * base[np.ix_(idx, idx)]
+    # Normalize to [low, high].
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+    img = low + img * (high - low)
+    # 3x3 box blur (cheap separable smoothing against aliasing).
+    for _ in range(2):
+        img = (np.roll(img, 1, 0) + img + np.roll(img, -1, 0)) / 3.0
+        img = (np.roll(img, 1, 1) + img + np.roll(img, -1, 1)) / 3.0
+    return img
 
 
 def make_room_scene(seed: int = 0, extent: float = 4.0) -> List[Quad]:
@@ -95,9 +111,24 @@ def render(scene: List[Quad], cam: CameraConfig, pose_cw_Rt) -> np.ndarray:
         b = (rel @ quad.ev) / lv2
         valid = (tt > 1e-6) & (a >= 0) & (a < 1) & (b >= 0) & (b < 1) & (tt < best_t)
         tu, tv = quad.texture.shape
-        ia = np.clip((a * tu).astype(np.int64), 0, tu - 1)
-        ib = np.clip((b * tv).astype(np.int64), 0, tv - 1)
-        tex = quad.texture[ia, ib]
+        # Bilinear texture sampling (aliasing-free under motion, which keeps
+        # descriptors repeatable frame to frame).
+        fa = np.clip(a * tu - 0.5, 0, tu - 1)
+        fb = np.clip(b * tv - 0.5, 0, tv - 1)
+        ia0 = np.floor(fa).astype(np.int64)
+        ib0 = np.floor(fb).astype(np.int64)
+        ia1 = np.minimum(ia0 + 1, tu - 1)
+        ib1 = np.minimum(ib0 + 1, tv - 1)
+        wa = fa - ia0
+        wb = fb - ib0
+        t00 = quad.texture[ia0, ib0]
+        t01 = quad.texture[ia0, ib1]
+        t10 = quad.texture[ia1, ib0]
+        t11 = quad.texture[ia1, ib1]
+        tex = (
+            t00 * (1 - wa) * (1 - wb) + t01 * (1 - wa) * wb
+            + t10 * wa * (1 - wb) + t11 * wa * wb
+        )
         img = np.where(valid, tex, img)
         best_t = np.where(valid, tt, best_t)
     return np.clip(img, 0, 255).astype(np.uint8)

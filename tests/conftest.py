@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The image's sitecustomize forces jax_platforms="axon,cpu" regardless of the
+# env var; override the config directly so tests really run on the virtual
+# CPU mesh (and not through the single-chip TPU tunnel).
+jax.config.update(
+    "jax_platforms", os.environ.get("OSFSC_TEST_PLATFORM", "cpu")
+)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
