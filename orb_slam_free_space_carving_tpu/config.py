@@ -192,7 +192,8 @@ class CarvingConfig:
     """
 
     grid_resolution: int = 128
-    bounds_scale: float = 2.0          # voxel grid extent vs data extent
+    bounds_scale: float = 1.3          # voxel grid extent vs data extent
+    evidence_dilation: int = 1         # surface gate reach (voxels)
     ray_samples: int = 96              # samples per carving ray
     lambda_smooth: float = 0.05
     free_vote_threshold: float = 0.5   # vote>0 in reference; soft for voxels

@@ -100,6 +100,22 @@ class Carver:
         origins, targets = self._constraints()
         if origins.shape[0] < 50:
             return
+
+        # Giant-point quarantine (the reference excludes points outside a
+        # robust bound from carving, SFMTranscriptInterface_Delaunay.cpp:
+        # 294-329 + 416-456): percentile bounds over targets, constraints
+        # whose endpoint falls outside are dropped.
+        lo_p = np.percentile(targets, 2.0, axis=0)
+        hi_p = np.percentile(targets, 98.0, axis=0)
+        center = 0.5 * (lo_p + hi_p)
+        half = 0.5 * (hi_p - lo_p) * float(ccfg.bounds_scale) + 1e-3
+        lo_np = np.minimum(center - half, origins.min(axis=0) - 1e-3)
+        hi_np = np.maximum(center + half, origins.max(axis=0) + 1e-3)
+        keep = np.all((targets >= lo_np) & (targets <= hi_np), axis=1)
+        origins, targets = origins[keep], targets[keep]
+        if origins.shape[0] < 50:
+            return
+
         # Pad rays to a static bucket (powers of two) for jit cache reuse.
         B = 1 << int(np.ceil(np.log2(max(origins.shape[0], 1024))))
         pad = B - origins.shape[0]
@@ -110,11 +126,8 @@ class Carver:
             targets = np.pad(targets, ((0, pad), (0, 0)))
 
         pts_all = jnp.asarray(targets)
-        lo, hi = carving.compute_bounds(
-            jnp.concatenate([pts_all, jnp.asarray(origins)]),
-            jnp.asarray(np.concatenate([mask, mask])),
-            margin=float(ccfg.bounds_scale),
-        )
+        lo = jnp.asarray(lo_np, jnp.float32)
+        hi = jnp.asarray(hi_np, jnp.float32)
         votes, evidence = carving.carve_votes(
             jnp.asarray(origins), pts_all, jnp.asarray(mask), lo, hi,
             resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,
@@ -124,7 +137,7 @@ class Carver:
             iterations=ccfg.mrf_iterations,
             free_threshold=ccfg.free_vote_threshold,
         )
-        ev_dil = carving.dilate_evidence(evidence, radius=2)
+        ev_dil = carving.dilate_evidence(evidence, radius=ccfg.evidence_dilation)
         fx, fy, fz = carving.boundary_faces(field, ev_dil)
 
         self.field = np.asarray(field)
