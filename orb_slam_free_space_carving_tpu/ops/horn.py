@@ -33,8 +33,9 @@ def horn_alignment(x: jnp.ndarray, y: jnp.ndarray, weights=None, fix_scale: bool
     xc = (x - cx) * w
     yc = (y - cy) * w
 
-    # Cross covariance M = sum y_c x_c^T  -> N matrix.
-    M = jnp.einsum("...ki,...kj->...ij", yc, (x - cx))
+    # Cross covariance S_ab = sum x_a y_b (source x target, Horn's convention;
+    # the transpose recovers the INVERSE rotation).
+    M = jnp.einsum("...ki,...kj->...ij", xc, (y - cy))
     Sxx, Sxy, Sxz = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     Syx, Syy, Syz = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     Szx, Szy, Szz = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
@@ -95,7 +96,8 @@ def solve_sim3_ransac(
     def hypothesis(k):
         g = jax.random.gumbel(k, (N,)) + logits
         idx = jax.lax.top_k(g, 3)[1]
-        return horn_alignment(x1_c[idx], x2_c[idx], fix_scale=fix_scale)
+        # horn_alignment(a, b) maps a -> b; we want sim with x1 ~ sim(x2).
+        return horn_alignment(x2_c[idx], x1_c[idx], fix_scale=fix_scale)
 
     sims = jax.vmap(hypothesis)(keys)  # [S,8] sim s.t. x1 ~ sim(x2)
 
@@ -115,7 +117,7 @@ def solve_sim3_ransac(
     best = jnp.argmax(n_inl)
     # Refit on all inliers of the best hypothesis (polish).
     wbest = inls[best].astype(x1_c.dtype)
-    sim = horn_alignment(x1_c, x2_c, weights=wbest, fix_scale=fix_scale)
+    sim = horn_alignment(x2_c, x1_c, weights=wbest, fix_scale=fix_scale)
     n_fin, inl_fin = score(sim)
     use_refit = n_fin >= n_inl[best]
     sim = jnp.where(use_refit, sim, sims[best])
