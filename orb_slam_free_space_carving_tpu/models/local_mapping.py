@@ -39,6 +39,36 @@ from orb_slam_free_space_carving_tpu.utils import camera, lie
 # ---------------------------------------------------------------------------
 
 @jax.jit
+def _epipolar_triangulate_batch(
+    pose1, pose2_b, uv1, oct1, ang1, desc1, free1,
+    uv2_b, oct2_b, ang2_b, desc2_b, free2_b, intr, inv_sigma2_by_level,
+):
+    """vmapped :func:`_epipolar_triangulate_pair` over a padded neighbor batch
+    — ONE dispatch triangulates the new keyframe against all covisible
+    neighbors (the reference loops 20 neighbors sequentially,
+    ``LocalMapping.cc:250-``)."""
+    return jax.vmap(
+        _epipolar_triangulate_pair,
+        in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0, 0,
+                 None, None),
+    )(pose1, pose2_b, uv1, oct1, ang1, desc1, free1,
+      uv2_b, oct2_b, ang2_b, desc2_b, free2_b, intr, inv_sigma2_by_level)
+
+
+@jax.jit
+def _fuse_project_batch(pose_b, pt_xyz, pt_desc, pt_valid, pt_maxdist,
+                        pt_normal, kf_uv_b, kf_oct_b, kf_desc_b,
+                        kf_feat_valid_b, kf_free_b, intr, scale_factor,
+                        n_levels, wh):
+    return jax.vmap(
+        _fuse_project,
+        in_axes=(0, None, None, None, None, None, 0, 0, 0, 0, 0, None,
+                 None, None, None),
+    )(pose_b, pt_xyz, pt_desc, pt_valid, pt_maxdist, pt_normal,
+      kf_uv_b, kf_oct_b, kf_desc_b, kf_feat_valid_b, kf_free_b, intr,
+      scale_factor, n_levels, wh)
+
+
 def _epipolar_triangulate_pair(
     pose1, pose2, uv1, oct1, ang1, desc1, free1,
     uv2, oct2, ang2, desc2, free2, intr, inv_sigma2_by_level,
@@ -193,12 +223,16 @@ class LocalMapper:
         to_kill = []
         vis = np.asarray(m.pt_visible)
         fnd = np.asarray(m.pt_found)
+        # Observation counts for ALL points in one pass (vs per-point scans).
+        sub = self.host.obs_pt[: self.host.n_kf_slots]
+        flat = sub[sub >= 0]
+        obs_count = np.bincount(flat, minlength=self.cfg.capacity.max_points)
         for pid, born_kf_count in self.recent_points:
             if not self.host.pt_valid[pid]:
                 continue
             age = self.kf_counter - born_kf_count
             ratio = fnd[pid] / max(int(vis[pid]), 1)
-            nobs = self.host.n_observations(pid)
+            nobs = int(obs_count[pid])
             if ratio < self.cfg.mapping.cull_found_ratio:
                 to_kill.append(pid)
             elif age >= 2 and nobs <= self.cfg.mapping.cull_min_obs_after - 1:
@@ -250,74 +284,86 @@ class LocalMapper:
 
         free1 = jnp.asarray(own < 0) & m.kf_feat_valid[kf]
 
-        for nb in neighbors:
-            c2 = np.asarray(lie.se3_inverse(m.kf_pose[int(nb)]))[4:7]
-            baseline = float(np.linalg.norm(c2 - c1))
-            if baseline / max(med_depth, 1e-9) < 0.01:   # ratioBaselineDepth :271
-                continue
-            nb = int(nb)
-            nb_obs = self.host.obs_pt[nb]
-            free2 = jnp.asarray(nb_obs < 0) & m.kf_feat_valid[nb]
-            idx, xyz, good = _epipolar_triangulate_pair(
-                pose1, m.kf_pose[nb],
-                m.kf_uv[kf], m.kf_octave[kf], m.kf_angle[kf], m.kf_desc[kf], free1,
-                m.kf_uv[nb], m.kf_octave[nb], m.kf_angle[nb], m.kf_desc[nb], free2,
-                self.intr, self._inv_sigma2,
-            )
-            good_np = np.asarray(good)
-            if not good_np.any():
-                continue
-            idx_np = np.asarray(idx)
-            xyz_np = np.asarray(xyz)
-            feats1 = np.where(good_np)[0]
-            feats2 = idx_np[feats1]
-            n_new = feats1.size
-            try:
-                pids = self.host.alloc_points(n_new)
-            except RuntimeError:
-                return
-            # Host obs bookkeeping.
-            self.host.obs_pt[kf, feats1] = pids
-            self.host.obs_pt[nb, feats2] = pids
-            own = self.host.obs_pt[kf]
+        # Baseline/depth gate per neighbor (LocalMapping.cc:250-274), on host.
+        centers = np.asarray(lie.se3_inverse(m.kf_pose[jnp.asarray(neighbors)]))[:, 4:7]
+        baselines = np.linalg.norm(centers - c1, axis=-1)
+        keep = baselines / max(med_depth, 1e-9) >= 0.01
+        neighbors = neighbors[keep]
+        if neighbors.size == 0:
+            return
 
-            # Device: scatter new points (+ device obs rows).
-            new_xyz = xyz_np[feats1]
-            d = np.linalg.norm(new_xyz - c1, axis=-1)
-            sf = self.cfg.orb.scale_factor
-            oct1 = np.asarray(m.kf_octave[kf])[feats1]
-            max_dist = d * (sf ** oct1)
-            min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
-            normal = (new_xyz - c1) / np.maximum(d[:, None], 1e-9)
-            ids_j = jnp.asarray(pids)
-            m2 = ms.add_points_arrays(
-                m, ids_j, jnp.asarray(new_xyz, jnp.float32),
-                m.kf_desc[kf][jnp.asarray(feats1)],
-                jnp.asarray(normal, jnp.float32),
-                jnp.asarray(min_dist, jnp.float32),
-                jnp.asarray(max_dist, jnp.float32),
-                jnp.full(n_new, kf, jnp.int32), jnp.full(n_new, kf, jnp.int32),
-                jnp.ones(n_new, bool),
-            )
-            m2 = m2._replace(
-                obs_pt=m2.obs_pt
-                .at[kf, jnp.asarray(feats1)].set(ids_j)
-                .at[nb, jnp.asarray(feats2)].set(ids_j)
-            )
-            m = m2
-            self.m = m
-            free1 = jnp.asarray(own < 0) & m.kf_feat_valid[kf]
-            for pid in pids:
-                self.recent_points.append((int(pid), self.kf_counter))
-            # CARV journal: extend the latest keyframe event's new points.
-            for ev in reversed(self.host.journal):
-                if ev.kind == "keyframe" and ev.kf == kf:
-                    ev.new_points = np.concatenate([ev.new_points, new_xyz])
-                    ev.new_point_ids = np.concatenate(
-                        [ev.new_point_ids, pids.astype(np.int64)]
-                    )
-                    ev.vis_ids = np.unique(np.concatenate([ev.vis_ids, pids]))
-                    break
+        # Pad neighbors to a static bucket and triangulate all pairs at once.
+        NB = 8
+        neighbors = neighbors[:NB]
+        nbp = np.zeros(NB, np.int32)
+        nb_mask = np.zeros(NB, bool)
+        nbp[: neighbors.size] = neighbors
+        nb_mask[: neighbors.size] = True
+        nb_j = jnp.asarray(nbp)
+        free2_b = jnp.asarray(self.host.obs_pt[nbp] < 0) & m.kf_feat_valid[nb_j] \
+            & jnp.asarray(nb_mask)[:, None]
+        idx_b, xyz_b, good_b = _epipolar_triangulate_batch(
+            pose1, m.kf_pose[nb_j],
+            m.kf_uv[kf], m.kf_octave[kf], m.kf_angle[kf], m.kf_desc[kf], free1,
+            m.kf_uv[nb_j], m.kf_octave[nb_j], m.kf_angle[nb_j], m.kf_desc[nb_j],
+            free2_b, self.intr, self._inv_sigma2,
+        )
+        good_np = np.asarray(good_b)          # [NB,N]
+        if not good_np.any():
+            return
+        idx_np = np.asarray(idx_b)
+        xyz_np = np.asarray(xyz_b)
+
+        # Resolve conflicts: each kf feature triangulates with its first good
+        # neighbor (the reference's sequential loop has the same effect).
+        first_nb = np.argmax(good_np, axis=0)            # [N]
+        any_good = good_np.any(axis=0)
+        feats1 = np.where(any_good)[0]
+        nb_of = first_nb[feats1]
+        feats2 = idx_np[nb_of, feats1]
+        new_xyz = xyz_np[nb_of, feats1]
+        n_new = feats1.size
+        try:
+            pids = self.host.alloc_points(n_new)
+        except RuntimeError:
+            return
+        # Host obs bookkeeping.
+        self.host.obs_pt[kf, feats1] = pids
+        self.host.obs_pt[nbp[nb_of], feats2] = pids
+
+        d = np.linalg.norm(new_xyz - c1, axis=-1)
+        sf = self.cfg.orb.scale_factor
+        oct1 = np.asarray(m.kf_octave[kf])[feats1]
+        max_dist = d * (sf ** oct1)
+        min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
+        normal = (new_xyz - c1) / np.maximum(d[:, None], 1e-9)
+        ids_j = jnp.asarray(pids)
+        m = ms.add_points_arrays(
+            m, ids_j, jnp.asarray(new_xyz, jnp.float32),
+            m.kf_desc[kf][jnp.asarray(feats1)],
+            jnp.asarray(normal, jnp.float32),
+            jnp.asarray(min_dist, jnp.float32),
+            jnp.asarray(max_dist, jnp.float32),
+            jnp.full(n_new, kf, jnp.int32), jnp.full(n_new, kf, jnp.int32),
+            jnp.ones(n_new, bool),
+        )
+        m = m._replace(
+            obs_pt=m.obs_pt
+            .at[kf, jnp.asarray(feats1)].set(ids_j)
+            .at[jnp.asarray(nbp[nb_of]), jnp.asarray(feats2)].set(ids_j)
+        )
+        self.m = m
+        for pid in pids:
+            self.recent_points.append((int(pid), self.kf_counter))
+        # CARV journal: extend the latest keyframe event's new points.
+        for ev in reversed(self.host.journal):
+            if ev.kind == "keyframe" and ev.kf == kf:
+                ev.new_points = np.concatenate([ev.new_points, new_xyz])
+                ev.new_point_ids = np.concatenate(
+                    [ev.new_point_ids, pids.astype(np.int64)]
+                )
+                ev.vis_ids = np.unique(np.concatenate([ev.vis_ids, pids]))
+                break
 
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, kf: int):
@@ -339,28 +385,41 @@ class LocalMapper:
         pad[:z] = pt_ids[:z]
         msk[:z] = True
         ids_j = jnp.asarray(pad)
-        for nb in neighbors:
-            nb = int(nb)
-            nb_free = jnp.asarray(self.host.obs_pt[nb] < 0)
-            idx = _fuse_project(
-                m.kf_pose[nb],
-                m.pt_xyz[ids_j], m.pt_desc[ids_j],
-                m.pt_valid[ids_j] & jnp.asarray(msk),
-                m.pt_max_dist[ids_j], m.pt_normal[ids_j],
-                m.kf_uv[nb], m.kf_octave[nb], m.kf_desc[nb],
-                m.kf_feat_valid[nb], nb_free, self.intr,
-                self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
-            )
-            idx_np = np.asarray(idx)
-            rows = idx_np >= 0
+
+        NB = 8
+        neighbors = neighbors[:NB]
+        nbp = np.zeros(NB, np.int32)
+        nb_mask = np.zeros(NB, bool)
+        nbp[: neighbors.size] = neighbors
+        nb_mask[: neighbors.size] = True
+        nb_j = jnp.asarray(nbp)
+        nb_free_b = jnp.asarray(self.host.obs_pt[nbp] < 0) & jnp.asarray(
+            nb_mask
+        )[:, None]
+        idx_b = _fuse_project_batch(
+            m.kf_pose[nb_j],
+            m.pt_xyz[ids_j], m.pt_desc[ids_j],
+            m.pt_valid[ids_j] & jnp.asarray(msk),
+            m.pt_max_dist[ids_j], m.pt_normal[ids_j],
+            m.kf_uv[nb_j], m.kf_octave[nb_j], m.kf_desc[nb_j],
+            m.kf_feat_valid[nb_j], nb_free_b, self.intr,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
+        )
+        idx_np = np.asarray(idx_b)            # [NB,P]
+        any_hit = False
+        for b in range(neighbors.size):
+            rows = idx_np[b] >= 0
             if not rows.any():
                 continue
-            self.host.obs_pt[nb, idx_np[rows]] = pad[rows]
+            any_hit = True
+            nb = int(nbp[b])
+            self.host.obs_pt[nb, idx_np[b][rows]] = pad[rows]
             m = m._replace(
-                obs_pt=m.obs_pt.at[nb, jnp.asarray(idx_np[rows])].set(
+                obs_pt=m.obs_pt.at[nb, jnp.asarray(idx_np[b][rows])].set(
                     jnp.asarray(pad[rows])
                 )
             )
+        if any_hit:
             self.m = m
         self.host.update_covisibility(kf)
 
@@ -523,6 +582,9 @@ class LocalMapper:
     def _cull_keyframes(self, kf: int):
         """KeyFrameCulling (LocalMapping.cc:645-709): a covisible KF whose
         >=90% points are observed by >=3 other keyframes is redundant."""
+        sub = self.host.obs_pt[: self.host.n_kf_slots]
+        flat = sub[sub >= 0]
+        obs_count = np.bincount(flat, minlength=self.cfg.capacity.max_points)
         for cand in self.host.covisible_keyframes(kf, 10, min_weight=1):
             cand = int(cand)
             if cand in (0, 1) or cand == kf:
@@ -531,13 +593,13 @@ class LocalMapper:
             pids = row[row >= 0]
             if pids.size == 0:
                 continue
-            redundant = 0
-            sub = self.host.obs_pt[: self.host.n_kf_slots]
-            for pid in pids:
-                if (sub == pid).sum() >= 4:  # self + 3 others
-                    redundant += 1
+            redundant = int((obs_count[pids] >= 4).sum())  # self + 3 others
             if redundant >= self.cfg.mapping.kf_cull_redundancy * pids.size:
                 self._remove_keyframe(cand)
+                sub = self.host.obs_pt[: self.host.n_kf_slots]
+                obs_count = np.bincount(
+                    sub[sub >= 0], minlength=self.cfg.capacity.max_points
+                )
 
     def _remove_keyframe(self, kf: int):
         """SetBadFlag for a keyframe (KeyFrame.cc:479-535): drop observations,

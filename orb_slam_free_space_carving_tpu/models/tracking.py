@@ -151,6 +151,124 @@ def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
     return ba.ba_solve(prob, intr, iterations=iterations)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "scale_factor", "n_levels", "wh",
+                     "radius_motion", "has_distortion"),
+)
+def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
+                      local_ids, local_mask, intr, inv_sigma2_by_level,
+                      orb_cfg, scale_factor, n_levels, wh, radius_motion,
+                      has_distortion):
+    """ONE dispatch for the whole per-frame hot path (SURVEY.md section 3.2):
+
+    extract ORB -> constant-velocity predict -> projection match vs the last
+    frame's points -> motion-only GN -> local-map frustum + scale-predicted
+    match -> GN again -> visible/found counter update.
+
+    The reference spreads this over ~6 sequential CPU stages; fusing it into
+    one jitted program removes every intermediate host<->device round trip
+    (the dominant cost at 17 fps pre-fusion) and lets XLA overlap the matmuls.
+
+    Returns (m', feat, pose, track_pt[N] global point ids, n_inliers).
+    """
+    from orb_slam_free_space_carving_tpu.ops import orb as orb_ops
+
+    M = m.pt_xyz.shape[0]
+
+    # --- frame build
+    feat = orb_ops.extract_features(img_u8, orb_cfg)
+    if has_distortion:
+        uv_und = camera.undistort_pixels(feat.xy, intr)
+    else:
+        uv_und = feat.xy
+    feat = feat._replace(uv_und=uv_und)
+    frame_is2 = inv_sigma2_by_level[jnp.clip(feat.octave, 0, n_levels - 1)]
+
+    # --- motion model match + pose GN
+    pose_pred = lie.se3_compose(velocity, last_pose)
+    cand = last_track_pt >= 0
+    pt_ids = jnp.where(cand, last_track_pt, 0)
+    pt_xyz = m.pt_xyz[pt_ids]
+    pt_desc = m.pt_desc[pt_ids]
+    pt_valid = m.pt_valid[pt_ids] & cand
+    xc = lie.se3_apply(pose_pred, pt_xyz)
+    uv = camera.project(xc, intr)
+    vis_m = (xc[..., 2] > 0.05) & camera.in_image(uv, wh[0], wh[1]) & pt_valid
+    # Predicted octave: reuse the last frame's detection level per point
+    # (approximates the reference's per-point PredictScale here; the local-map
+    # pass below uses the true distance-based prediction).
+    dist_m = matching.hamming_matrix(pt_desc, feat.desc)
+    radii = radius_motion * scale_factor ** jnp.zeros_like(uv[..., 0])
+    mask_m = matching.window_mask(uv, feat.uv_und, radius_motion, vis_m, feat.valid)
+    idx_m, best_m = matching.masked_match(dist_m, mask_m, max_dist=100.0, ratio=0.9)
+    idx_m = matching._dedup_targets(idx_m, best_m, feat.capacity)
+    matched_m = idx_m >= 0
+    sel_feat = jnp.clip(idx_m, 0, feat.capacity - 1)
+    res1 = pose_opt.optimize_pose(
+        pose_pred, pt_xyz, feat.uv_und[sel_feat], frame_is2[sel_feat],
+        matched_m, intr,
+    )
+    pose = res1.pose
+
+    # track_pt: feature slot -> global point id from the motion match.
+    ok_m = matched_m & res1.inliers
+    src_pid = jnp.where(ok_m, last_track_pt, M)       # M = dropped
+    tgt = jnp.where(ok_m, idx_m, feat.capacity)
+    track_pt = jnp.full((feat.capacity,), -1, jnp.int32).at[tgt].set(
+        src_pid.astype(jnp.int32), mode="drop"
+    )
+    track_pt = jnp.where(track_pt == M, -1, track_pt)
+
+    # --- local map: frustum + scale-predicted projection match
+    l_xyz = m.pt_xyz[local_ids]
+    l_desc = m.pt_desc[local_ids]
+    l_valid = m.pt_valid[local_ids] & local_mask
+    l_maxd = m.pt_max_dist[local_ids]
+    l_norm = m.pt_normal[local_ids]
+    ok_f, uv_l, z_l, dist_l, _ = camera.in_frustum(
+        l_xyz, pose, intr, wh[0], wh[1], normals_w=l_norm, view_cos_limit=0.5,
+    )
+    # Exclude points already bound this frame.
+    bound = jnp.zeros((M + 1,), bool).at[
+        jnp.where(track_pt >= 0, track_pt, M)
+    ].set(True, mode="drop")
+    vis_l = ok_f & l_valid & ~bound[jnp.clip(local_ids, 0, M - 1)]
+    pred_lv = camera.predict_scale_level(dist_l, l_maxd, scale_factor, n_levels)
+    radii_l = 4.0 * scale_factor ** pred_lv.astype(jnp.float32)
+    dist_lm = matching.hamming_matrix(l_desc, feat.desc)
+    feat_free = track_pt < 0
+    mask_l = matching.window_mask(uv_l, feat.uv_und, radii_l, vis_l,
+                                  feat.valid & feat_free)
+    mask_l = mask_l & matching.octave_mask(pred_lv, feat.octave, -1, 1)
+    idx_l, best_l = matching.masked_match(dist_lm, mask_l, max_dist=50.0, ratio=0.8)
+    idx_l = matching._dedup_targets(idx_l, best_l, feat.capacity)
+    can_bind = idx_l >= 0
+    tgt_l = jnp.where(can_bind, idx_l, feat.capacity)
+    track_pt = track_pt.at[tgt_l].set(
+        jnp.where(can_bind, local_ids, -1).astype(jnp.int32), mode="drop"
+    )
+
+    # --- final pose GN over every binding
+    bound2 = track_pt >= 0
+    sel_pt = jnp.clip(track_pt, 0, M - 1)
+    res2 = pose_opt.optimize_pose(
+        pose, m.pt_xyz[sel_pt], feat.uv_und, frame_is2, bound2, intr,
+    )
+    pose = res2.pose
+    track_pt = jnp.where(res2.inliers | ~bound2, track_pt, -1)
+    n_inliers = jnp.sum(track_pt >= 0)
+
+    # --- counters: visible (in frustum) & found (tracked) per local point
+    vis_ids = jnp.where(ok_f & l_valid, local_ids, M)
+    found_sel = jnp.where(track_pt >= 0, track_pt, M)
+    m = m._replace(
+        pt_visible=m.pt_visible.at[vis_ids].add(1, mode="drop"),
+        pt_found=m.pt_found.at[found_sel].add(1, mode="drop"),
+    )
+    return m, feat, frame_is2, pose, track_pt, n_inliers
+
+
 # ---------------------------------------------------------------------------
 # Tracker
 # ---------------------------------------------------------------------------
@@ -178,6 +296,14 @@ class Tracker:
         self.frame_idx = -1
         self.trajectory = []                 # (timestamp, pose7 np, state)
         self.n_tracked = 0
+        # Device-resident fast-path state (refreshed on keyframe events).
+        cap_l = LOCAL_POINTS_CAP
+        self._local_ids = jnp.zeros((cap_l,), jnp.int32)
+        self._local_mask = jnp.zeros((cap_l,), bool)
+        self._track_pt_dev = None            # [N] int32 on device
+        self._inv_sigma2_lv = jnp.asarray(
+            1.0 / np.array(cfg.orb.level_sigma2, np.float32)
+        )
 
     @property
     def m(self) -> ms.MapArrays:
@@ -195,16 +321,84 @@ class Tracker:
     def track(self, img: np.ndarray, timestamp: float) -> np.ndarray:
         """Process one frame; returns pose7 Tcw (np) or identity if lost."""
         self.frame_idx += 1
-        frame = self.builder(img)
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            frame = self.builder(img)
             self._monocular_initialization(frame, timestamp)
+        elif (self.state == OK and self.velocity is not None
+              and self._track_pt_dev is not None):
+            self._track_frame_fast(jnp.asarray(img, jnp.uint8), timestamp)
         else:
+            frame = self.builder(img)
             self._track_frame(frame, timestamp)
 
-        pose = np.asarray(frame.pose if self.last_frame is None else self.last_frame.pose)
+        pose = np.asarray(
+            self.last_frame.pose if self.last_frame is not None
+            else lie.se3_identity()
+        )
         self.trajectory.append((timestamp, pose.copy(), self.state))
         return pose
+
+    # ------------------------------------------------------------------
+    # Fused fast path: one device dispatch per frame
+    # ------------------------------------------------------------------
+    def _track_frame_fast(self, img_dev, timestamp: float):
+        m, feat, frame_is2, pose, track_pt, n_inl = _fused_track_step(
+            self.m, img_dev, self.last_frame.pose, jnp.asarray(self.velocity),
+            self._track_pt_dev, self._local_ids, self._local_mask,
+            self.intr, self._inv_sigma2_lv,
+            self.cfg.orb, self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+            self.wh, self.cfg.matcher.search_radius_motion,
+            self.cfg.camera.has_distortion,
+        )
+        n = int(n_inl)   # the single per-frame sync
+        frame = FrameData(feat=feat, pose=pose, inv_sigma2=frame_is2)
+        if n < self.cfg.tracking.min_matches_track_localmap:
+            # Fall back to the slow path (reference-KF track / reloc).
+            self.last_track_pt = np.asarray(self._track_pt_dev)
+            self._track_frame(frame, timestamp)
+            return
+        self.m = m
+        self.state = OK
+        self.n_tracked = n
+        self.velocity = np.asarray(
+            lie.se3_compose(pose, lie.se3_inverse(self.last_frame.pose))
+        )
+        self._track_pt_dev = track_pt
+        self.last_frame = frame
+
+        if self._need_new_keyframe(n):
+            track_pt_np = np.asarray(track_pt)
+            self.last_track_pt = track_pt_np
+            self._create_new_keyframe(frame, timestamp, track_pt_np)
+
+    def _refresh_local_points(self):
+        """Recompute the device-side local point buffer from the covisibility
+        neighborhood of the reference keyframe (runs on keyframe events only;
+        the reference recomputes its local map per frame, but between
+        keyframes the covisibility neighborhood is constant)."""
+        if self.ref_kf < 0:
+            return
+        kfs = {self.ref_kf}
+        for k in self.host.covisible_keyframes(self.ref_kf, 10, min_weight=1):
+            kfs.add(int(k))
+        more = set()
+        for k in list(kfs):
+            for j in self.host.covisible_keyframes(int(k), 5, min_weight=1):
+                more.add(int(j))
+        kfs |= more
+        kfs = list(kfs)[: self.cfg.tracking.local_map_max_keyframes]
+        ids = np.unique(self.host.obs_pt[kfs])
+        ids = ids[ids >= 0]
+        ids = ids[self.host.pt_valid[ids]]
+        if ids.size > LOCAL_POINTS_CAP:
+            ids = ids[:LOCAL_POINTS_CAP]
+        out = np.zeros(LOCAL_POINTS_CAP, np.int32)
+        msk = np.zeros(LOCAL_POINTS_CAP, bool)
+        out[: ids.size] = ids
+        msk[: ids.size] = True
+        self._local_ids = jnp.asarray(out)
+        self._local_mask = jnp.asarray(msk)
 
     # ------------------------------------------------------------------
     # Monocular initialization (Tracking.cc:572-746)
@@ -382,6 +576,7 @@ class Tracker:
         track_pt = np.full(N, -1, np.int32)
         track_pt[feats2] = pids
         self.last_track_pt = track_pt
+        self._track_pt_dev = jnp.asarray(track_pt)
         self.last_frame = frame._replace(pose=pose2_ba)
         self.ref_kf = kf2
         self.last_kf_frame_idx = self.frame_idx
@@ -392,6 +587,7 @@ class Tracker:
         if self.local_mapper is not None:
             self.local_mapper.on_keyframe(kf1)
             self.local_mapper.on_keyframe(kf2)
+        self._refresh_local_points()
 
     # ------------------------------------------------------------------
     # Frame-to-frame tracking
@@ -449,6 +645,7 @@ class Tracker:
 
         self.last_frame = frame
         self.last_track_pt = track_pt
+        self._track_pt_dev = jnp.asarray(track_pt)
 
     def _track_with_motion_model(self, frame: FrameData):
         """Tracking.cc:876-937."""
@@ -627,3 +824,4 @@ class Tracker:
         ))
         if self.local_mapper is not None:
             self.local_mapper.on_keyframe(kf)
+        self._refresh_local_points()
