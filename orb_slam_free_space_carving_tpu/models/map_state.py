@@ -158,21 +158,16 @@ class MapHost:
 
     def update_covisibility(self, kf: int):
         """Recompute covisibility row for ``kf`` from the obs mirror
-        (KeyFrame::UpdateConnections, reference ``src/KeyFrame.cc:289-379``)."""
+        (KeyFrame::UpdateConnections, reference ``src/KeyFrame.cc:289-379``) —
+        native C++ scan (runtime/native/mapstore.cpp) with numpy fallback."""
         own = self.obs_pt[kf]
-        own_pts = own[own >= 0]
-        if own_pts.size == 0:
+        if not (own >= 0).any():
             return
-        K = self.cfg.capacity.max_keyframes
-        pt_mask = np.zeros(self.cfg.capacity.max_points, bool)
-        pt_mask[own_pts] = True
-        counts = np.zeros(K, np.int32)
-        for j in range(self.n_kf_slots):
-            if j == kf or not self.kf_valid[j]:
-                continue
-            other = self.obs_pt[j]
-            other_pts = other[other >= 0]
-            counts[j] = int(pt_mask[other_pts].sum())
+        from orb_slam_free_space_carving_tpu.runtime import mapstore
+
+        counts = mapstore.covisibility_row(
+            self.obs_pt, self.kf_valid, self.cfg.capacity.max_points, kf
+        )
         self.covis[kf, :] = counts
         self.covis[:, kf] = counts
         # Spanning tree: parent = strongest covisible among older KFs (:371-376).
@@ -204,12 +199,14 @@ class MapHost:
         self.obs_pt[kf, feat] = -1
 
     def point_observations(self, pid: int) -> List[tuple]:
-        """(kf, feat) pairs observing pid — host scan of the mirror."""
-        ks, fs = np.where(self.obs_pt[: self.n_kf_slots] == pid)
-        return list(zip(ks.tolist(), fs.tolist()))
+        """(kf, feat) pairs observing pid — native scan of the mirror."""
+        from orb_slam_free_space_carving_tpu.runtime import mapstore
+
+        pairs = mapstore.point_observations(self.obs_pt[: self.n_kf_slots], pid)
+        return [(int(k), int(f)) for k, f in pairs]
 
     def n_observations(self, pid: int) -> int:
-        return int((self.obs_pt[: self.n_kf_slots] == pid).sum())
+        return len(self.point_observations(pid))
 
 
 # ---------------------------------------------------------------------------

@@ -388,11 +388,12 @@ class Tracker:
                 more.add(int(j))
         kfs |= more
         kfs = list(kfs)[: self.cfg.tracking.local_map_max_keyframes]
-        ids = np.unique(self.host.obs_pt[kfs])
-        ids = ids[ids >= 0]
-        ids = ids[self.host.pt_valid[ids]]
-        if ids.size > LOCAL_POINTS_CAP:
-            ids = ids[:LOCAL_POINTS_CAP]
+        from orb_slam_free_space_carving_tpu.runtime import mapstore
+
+        ids = mapstore.local_point_ids(
+            self.host.obs_pt, np.asarray(kfs, np.int32),
+            self.host.pt_valid, LOCAL_POINTS_CAP,
+        )
         out = np.zeros(LOCAL_POINTS_CAP, np.int32)
         msk = np.zeros(LOCAL_POINTS_CAP, bool)
         out[: ids.size] = ids
