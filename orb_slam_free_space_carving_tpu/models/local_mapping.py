@@ -221,8 +221,7 @@ class LocalMapper:
             return
         keep = []
         to_kill = []
-        vis = np.asarray(m.pt_visible)
-        fnd = np.asarray(m.pt_found)
+        vis, fnd = jax.device_get((m.pt_visible, m.pt_found))  # one sync
         # Observation counts for ALL points in one pass (vs per-point scans).
         sub = self.host.obs_pt[: self.host.n_kf_slots]
         flat = sub[sub >= 0]
@@ -308,11 +307,9 @@ class LocalMapper:
             m.kf_uv[nb_j], m.kf_octave[nb_j], m.kf_angle[nb_j], m.kf_desc[nb_j],
             free2_b, self.intr, self._inv_sigma2,
         )
-        good_np = np.asarray(good_b)          # [NB,N]
+        idx_np, xyz_np, good_np = jax.device_get((idx_b, xyz_b, good_b))
         if not good_np.any():
             return
-        idx_np = np.asarray(idx_b)
-        xyz_np = np.asarray(xyz_b)
 
         # Resolve conflicts: each kf feature triangulates with its first good
         # neighbor (the reference's sequential loop has the same effect).
@@ -472,51 +469,51 @@ class LocalMapper:
         if pt_ids.size < 20:
             return
 
-        kf_slotmap = {k: i for i, k in enumerate(all_kfs)}
-        pt_slotmap = {int(p): i for i, p in enumerate(pt_ids)}
+        all_kfs_arr = np.asarray(all_kfs, np.int64)
+        # One batched pull of everything the window needs (single sync).
+        kf_idx_j = jnp.asarray(all_kfs_arr)
+        pt_idx_j = jnp.asarray(pt_ids)
+        kf_pose_np, pts_sel, kf_uv_sel, kf_oct_sel = jax.device_get((
+            m.kf_pose[kf_idx_j], m.pt_xyz[pt_idx_j],
+            m.kf_uv[kf_idx_j], m.kf_octave[kf_idx_j],
+        ))
 
         cam_poses = np.zeros((C, 7), np.float32)
         cam_poses[:, 0] = 1.0
         cam_free = np.zeros(C, bool)
-        kf_pose_np = np.asarray(m.kf_pose)
-        for i, k in enumerate(all_kfs):
-            cam_poses[i] = kf_pose_np[k]
-            cam_free[i] = i < len(free_kfs)
+        cam_poses[: len(all_kfs)] = kf_pose_np
+        cam_free[: len(free_kfs)] = True
         # Never optimize the very first keyframe (gauge, Optimizer.cc:497).
-        for i, k in enumerate(all_kfs):
-            if k == 0:
-                cam_free[i] = False
+        cam_free[: len(all_kfs)] &= all_kfs_arr != 0
 
         pts = np.zeros((P, 3), np.float32)
         ptv = np.zeros(P, bool)
-        pt_xyz_np = np.asarray(m.pt_xyz)
-        pts[: pt_ids.size] = pt_xyz_np[pt_ids]
+        pts[: pt_ids.size] = pts_sel
         ptv[: pt_ids.size] = True
 
+        # Vectorized observation assembly: every (window kf, feature) slot
+        # bound to a window point becomes one obs row.
+        rows = self.host.obs_pt[all_kfs_arr]            # [W,N]
+        # Map point id -> slot via a lookup table.
+        pt_lut = np.full(self.cfg.capacity.max_points, -1, np.int32)
+        pt_lut[pt_ids] = np.arange(pt_ids.size, dtype=np.int32)
+        slot = np.where(rows >= 0, pt_lut[rows.clip(min=0)], -1)  # [W,N]
+        wi, fi = np.where(slot >= 0)
+        if wi.size > O:
+            wi, fi = wi[:O], fi[:O]
+        n_obs = wi.size
+        is2_lv = 1.0 / np.array(self.cfg.orb.level_sigma2, np.float32)
         obs_cam = np.zeros(O, np.int32)
         obs_point = np.zeros(O, np.int32)
         obs_uv = np.zeros((O, 2), np.float32)
         obs_is2 = np.ones(O, np.float32)
         obs_mask = np.zeros(O, bool)
-        obs_src = []  # (kf, feat) per obs row for outlier erasure
-        kf_uv_np = np.asarray(m.kf_uv)
-        kf_oct_np = np.asarray(m.kf_octave)
-        is2_lv = 1.0 / np.array(self.cfg.orb.level_sigma2, np.float32)
-        o = 0
-        for k in all_kfs:
-            row = self.host.obs_pt[k]
-            feats = np.where(row >= 0)[0]
-            for f in feats:
-                pid = int(row[f])
-                if pid not in pt_slotmap or o >= O:
-                    continue
-                obs_cam[o] = kf_slotmap[k]
-                obs_point[o] = pt_slotmap[pid]
-                obs_uv[o] = kf_uv_np[k, f]
-                obs_is2[o] = is2_lv[min(int(kf_oct_np[k, f]), len(is2_lv) - 1)]
-                obs_mask[o] = True
-                obs_src.append((k, int(f)))
-                o += 1
+        obs_cam[:n_obs] = wi
+        obs_point[:n_obs] = slot[wi, fi]
+        obs_uv[:n_obs] = kf_uv_sel[wi, fi]
+        obs_is2[:n_obs] = is2_lv[kf_oct_sel[wi, fi].clip(0, len(is2_lv) - 1)]
+        obs_mask[:n_obs] = True
+        obs_src = list(zip(all_kfs_arr[wi].tolist(), fi.tolist()))
 
         t0 = time.perf_counter()
         res = _local_ba(
@@ -527,55 +524,70 @@ class LocalMapper:
             self.cfg.optimizer.local_ba_iterations_a
             + self.cfg.optimizer.local_ba_iterations_b,
         )
-        res.cam_poses.block_until_ready()
+        # One batched pull (single sync): poses, points, chi2, camera centers.
+        new_poses_np, new_pts_np, chi2_all, new_centers = jax.device_get((
+            res.cam_poses, res.points, res.obs_chi2,
+            lie.se3_inverse(res.cam_poses)[:, 4:7],
+        ))
         self.ba_times_ms.append(1e3 * (time.perf_counter() - t0))
 
         # Write back poses + points (pad slot indices to capacity C; unused
         # and fixed lanes get an OOB index and are dropped by the scatter).
-        new_poses = res.cam_poses
-        new_pts = res.points
         K = m.kf_pose.shape[0]
         kf_idx_pad = np.full(C, K, np.int64)
-        for i, k in enumerate(all_kfs):
-            if cam_free[i]:
-                kf_idx_pad[i] = k
+        kf_idx_pad[: len(all_kfs)] = np.where(
+            cam_free[: len(all_kfs)], all_kfs_arr, K
+        )
         m = m._replace(
             kf_pose=m.kf_pose.at[jnp.asarray(kf_idx_pad)].set(
-                new_poses, mode="drop"
+                res.cam_poses, mode="drop"
             ),
             pt_xyz=m.pt_xyz.at[jnp.asarray(pt_ids)].set(
-                new_pts[: pt_ids.size]
+                res.points[: pt_ids.size]
             ),
         )
-        self.m = ms.update_point_stats(m)
 
-        # Outlier erasure (Optimizer.cc:711-757): chi2 > 5.991 -> drop obs.
-        chi2 = np.asarray(res.obs_chi2)[: len(obs_src)]
+        # Outlier erasure (Optimizer.cc:711-757): chi2 > 5.991 -> drop obs,
+        # batched into a single device scatter.
+        chi2 = chi2_all[: len(obs_src)]
         bad = np.where(chi2 > self.cfg.optimizer.chi2_mono)[0]
-        for bi in bad:
-            k, f = obs_src[bi]
-            pid = int(self.host.obs_pt[k, f])
-            if pid < 0:
-                continue
-            self.host.erase_observation(k, f)
-            self.m = self.m._replace(obs_pt=self.m.obs_pt.at[k, f].set(-1))
-            self.host.journal.append(
-                ms.JournalEvent(kind="del_obs", kf=k, point_id=pid)
+        if bad.size:
+            ks = np.array([obs_src[b][0] for b in bad], np.int32)
+            fs = np.array([obs_src[b][1] for b in bad], np.int32)
+            pids_bad = self.host.obs_pt[ks, fs]
+            ok_rows = pids_bad >= 0
+            ks, fs, pids_bad = ks[ok_rows], fs[ok_rows], pids_bad[ok_rows]
+            self.host.obs_pt[ks, fs] = -1
+            m = m._replace(
+                obs_pt=m.obs_pt.at[jnp.asarray(ks), jnp.asarray(fs)].set(-1)
             )
-            if self.host.n_observations(pid) < 2:
-                self._delete_points(np.array([pid], np.int32))
+            for k, pid in zip(ks.tolist(), pids_bad.tolist()):
+                self.host.journal.append(
+                    ms.JournalEvent(kind="del_obs", kf=k, point_id=pid)
+                )
+            self.m = m
+            # Points left with <2 observations die (batched).
+            from orb_slam_free_space_carving_tpu.runtime import mapstore
+
+            counts = mapstore.obs_counts(
+                self.host.obs_pt[: self.host.n_kf_slots],
+                self.host.kf_valid[: self.host.n_kf_slots].astype(np.uint8),
+                self.cfg.capacity.max_points,
+            )
+            orphans = np.unique(pids_bad[counts[pids_bad] < 2])
+            if orphans.size:
+                self._delete_points(orphans.astype(np.int32))
+        else:
+            self.m = m
+        self.m = ms.update_point_stats(self.m)
 
         # CARV adjustment event (moved cams + moved points).
-        centers = np.asarray(
-            lie.se3_inverse(jnp.asarray(cam_poses[: len(free_kfs)]))
-        )[:, 4:7]
-        new_centers = np.asarray(lie.se3_inverse(new_poses[: len(free_kfs)]))[:, 4:7]
         self.host.journal.append(ms.JournalEvent(
             kind="adjust",
             moved_ids=pt_ids.copy(),
-            moved_xyz=np.asarray(new_pts[: pt_ids.size]),
+            moved_xyz=new_pts_np[: pt_ids.size],
             moved_kfs=np.array(free_kfs, np.int64),
-            moved_centers=new_centers,
+            moved_centers=new_centers[: len(free_kfs)],
         ))
 
     # ------------------------------------------------------------------

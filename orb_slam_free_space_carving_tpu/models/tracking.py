@@ -157,9 +157,9 @@ def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
                      "radius_motion", "has_distortion"),
 )
 def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
-                      local_ids, local_mask, intr, inv_sigma2_by_level,
-                      orb_cfg, scale_factor, n_levels, wh, radius_motion,
-                      has_distortion):
+                      last_octave, local_ids, local_mask, intr,
+                      inv_sigma2_by_level, orb_cfg, scale_factor, n_levels,
+                      wh, radius_motion, has_distortion):
     """ONE dispatch for the whole per-frame hot path (SURVEY.md section 3.2):
 
     extract ORB -> constant-velocity predict -> projection match vs the last
@@ -195,12 +195,13 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     xc = lie.se3_apply(pose_pred, pt_xyz)
     uv = camera.project(xc, intr)
     vis_m = (xc[..., 2] > 0.05) & camera.in_image(uv, wh[0], wh[1]) & pt_valid
-    # Predicted octave: reuse the last frame's detection level per point
-    # (approximates the reference's per-point PredictScale here; the local-map
-    # pass below uses the true distance-based prediction).
+    # Predicted octave per candidate: the detection level of the feature that
+    # observed the point in the last frame (SearchByProjection frame-vs-
+    # lastframe uses the same lastframe-octave window, ORBmatcher.cc:1395-).
+    radii = radius_motion * scale_factor ** last_octave.astype(jnp.float32)
     dist_m = matching.hamming_matrix(pt_desc, feat.desc)
-    radii = radius_motion * scale_factor ** jnp.zeros_like(uv[..., 0])
-    mask_m = matching.window_mask(uv, feat.uv_und, radius_motion, vis_m, feat.valid)
+    mask_m = matching.window_mask(uv, feat.uv_und, radii, vis_m, feat.valid)
+    mask_m = mask_m & matching.octave_mask(last_octave, feat.octave, -1, 1)
     idx_m, best_m = matching.masked_match(dist_m, mask_m, max_dist=100.0, ratio=0.9)
     idx_m = matching._dedup_targets(idx_m, best_m, feat.capacity)
     matched_m = idx_m >= 0
@@ -345,7 +346,8 @@ class Tracker:
     def _track_frame_fast(self, img_dev, timestamp: float):
         m, feat, frame_is2, pose, track_pt, n_inl = _fused_track_step(
             self.m, img_dev, self.last_frame.pose, jnp.asarray(self.velocity),
-            self._track_pt_dev, self._local_ids, self._local_mask,
+            self._track_pt_dev, self.last_frame.feat.octave,
+            self._local_ids, self._local_mask,
             self.intr, self._inv_sigma2_lv,
             self.cfg.orb, self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
             self.wh, self.cfg.matcher.search_radius_motion,
