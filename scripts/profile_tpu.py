@@ -73,6 +73,8 @@ def main():
     total = time.perf_counter() - t0
     print(f"\ntotal {total:.1f}s, {n/total:.2f} fps, kfs={int(sysm.map_host.kf_valid.sum())}")
     for k, v in sorted(times.items(), key=lambda kv: -sum(kv[1])):
+        if not v:
+            continue
         v = np.array(v) * 1e3
         print(f"{k:28s} n={len(v):4d} sum={v.sum():8.0f}ms med={np.median(v):7.1f}ms max={v.max():7.1f}ms")
 
