@@ -48,12 +48,22 @@ def main():
     # Pre-render so host rendering cost doesn't pollute the pipeline timing.
     frames = [seq.frame(i) for i in range(n_frames)]
 
+    # Pass 1: compile warm-up over the FULL sequence.  Keyframe events,
+    # mapping, carving and loop kernels compile lazily at their first
+    # occurrence (which can be deep into the run); through the TPU tunnel a
+    # single compile costs seconds-to-minutes, so a head-only warmup would
+    # leave compiles inside the timed window.  The persistent compile cache
+    # (.jax_cache) + in-process executable cache make pass 2 pure compute.
     sysm = System(cfg)
-    # Warm-up / compile on the first frames.
+    for ts, img in frames:
+        sysm.track_monocular(img, ts)
+    sysm.shutdown()
+
+    # Pass 2: fresh engine state, fully compiled code — the timed run.
+    sysm = System(cfg)
     warm = min(12, n_frames // 4)
     for ts, img in frames[:warm]:
         sysm.track_monocular(img, ts)
-
     t0 = time.perf_counter()
     for ts, img in frames[warm:]:
         sysm.track_monocular(img, ts)

@@ -67,6 +67,17 @@ class CameraConfig:
     def has_distortion(self) -> bool:
         return any(abs(c) > 0 for c in (self.k1, self.k2, self.p1, self.p2, self.k3))
 
+    @property
+    def baseline(self) -> float:
+        """Stereo baseline in meters (bf / fx)."""
+        return self.bf / self.fx if self.bf else 0.0
+
+    @property
+    def th_depth_m(self) -> float:
+        """Close/far point threshold in meters: mThDepth = bf*ThDepth/fx
+        (reference ``src/Tracking.cc:99-105``)."""
+        return self.bf * self.th_depth / self.fx if self.bf else 0.0
+
 
 @dataclass(frozen=True)
 class ORBConfig:

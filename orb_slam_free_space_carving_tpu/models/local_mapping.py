@@ -156,13 +156,15 @@ def _fuse_project(pose_kf, pt_xyz, pt_desc, pt_valid, pt_maxdist, pt_normal,
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def _local_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
-              obs_uv, obs_is2, obs_mask, intr, iterations):
+              obs_uv, obs_is2, obs_mask, intr, iterations, obs_ur=None,
+              bf=0.0):
     prob = ba.BAProblem(
         cam_poses=cam_poses, cam_free=cam_free, points=points,
         point_valid=point_valid, obs_cam=obs_cam, obs_point=obs_point,
         obs_uv=obs_uv, obs_inv_sigma2=obs_is2, obs_mask=obs_mask,
+        obs_ur=obs_ur,
     )
-    return ba.ba_solve(prob, intr, iterations=iterations)
+    return ba.ba_solve(prob, intr, iterations=iterations, bf=bf)
 
 
 # ---------------------------------------------------------------------------
@@ -199,8 +201,10 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
         self.kf_counter += 1
-        if self.kf_counter <= 2:
-            # The two init keyframes arrive fully built (Tracking does init BA).
+        n_init_kfs = 2 if self.cfg.sensor == "monocular" else 1
+        if self.kf_counter <= n_init_kfs:
+            # The init keyframes arrive fully built (mono: two KFs + init BA;
+            # stereo/RGB-D: one KF with depth-unprojected points).
             if self.loop_closer is not None:
                 self.loop_closer.on_keyframe(kf)
             return
@@ -473,9 +477,9 @@ class LocalMapper:
         # One batched pull of everything the window needs (single sync).
         kf_idx_j = jnp.asarray(all_kfs_arr)
         pt_idx_j = jnp.asarray(pt_ids)
-        kf_pose_np, pts_sel, kf_uv_sel, kf_oct_sel = jax.device_get((
+        kf_pose_np, pts_sel, kf_uv_sel, kf_oct_sel, kf_ur_sel = jax.device_get((
             m.kf_pose[kf_idx_j], m.pt_xyz[pt_idx_j],
-            m.kf_uv[kf_idx_j], m.kf_octave[kf_idx_j],
+            m.kf_uv[kf_idx_j], m.kf_octave[kf_idx_j], m.kf_ur[kf_idx_j],
         ))
 
         cam_poses = np.zeros((C, 7), np.float32)
@@ -515,6 +519,13 @@ class LocalMapper:
         obs_mask[:n_obs] = True
         obs_src = list(zip(all_kfs_arr[wi].tolist(), fi.tolist()))
 
+        obs_ur = None
+        if self.cfg.sensor != "monocular":
+            # Stereo residual rows (EdgeStereoSE3ProjectXYZ, Optimizer.cc:158-186).
+            obs_ur_np = np.full(O, -1.0, np.float32)
+            obs_ur_np[:n_obs] = kf_ur_sel[wi, fi]
+            obs_ur = jnp.asarray(obs_ur_np)
+
         t0 = time.perf_counter()
         res = _local_ba(
             jnp.asarray(cam_poses), jnp.asarray(cam_free), jnp.asarray(pts),
@@ -523,6 +534,7 @@ class LocalMapper:
             self.intr,
             self.cfg.optimizer.local_ba_iterations_a
             + self.cfg.optimizer.local_ba_iterations_b,
+            obs_ur=obs_ur, bf=self.cfg.camera.bf,
         )
         # One batched pull (single sync): poses, points, chi2, camera centers.
         new_poses_np, new_pts_np, chi2_all, new_centers = jax.device_get((

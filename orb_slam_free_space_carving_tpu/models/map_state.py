@@ -42,6 +42,7 @@ class MapArrays(NamedTuple):
     kf_angle: jnp.ndarray      # [K,N] float32
     kf_desc: jnp.ndarray       # [K,N,32] uint8
     kf_feat_valid: jnp.ndarray # [K,N] bool
+    kf_ur: jnp.ndarray         # [K,N] stereo right-x per feature (-1 = mono)
     obs_pt: jnp.ndarray        # [K,N] int32 point id per feature slot (-1 none)
     pt_xyz: jnp.ndarray        # [M,3]
     pt_valid: jnp.ndarray      # [M] bool
@@ -68,6 +69,7 @@ def empty_map_arrays(cfg: SystemConfig) -> MapArrays:
         kf_angle=jnp.zeros((K, N), f32),
         kf_desc=jnp.zeros((K, N, 32), u8),
         kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_ur=jnp.full((K, N), -1.0, f32),
         obs_pt=jnp.full((K, N), -1, i32),
         pt_xyz=jnp.zeros((M, 3), f32),
         pt_valid=jnp.zeros((M,), bool),
@@ -215,8 +217,9 @@ class MapHost:
 
 @jax.jit
 def insert_keyframe_arrays(m: MapArrays, slot, pose, uv, octave, angle, desc,
-                           feat_valid, obs_pt_row) -> MapArrays:
+                           feat_valid, obs_pt_row, ur_row=None) -> MapArrays:
     """Write one keyframe's tensors into its slot (device scatter)."""
+    kf_ur = m.kf_ur if ur_row is None else m.kf_ur.at[slot].set(ur_row)
     return m._replace(
         kf_pose=m.kf_pose.at[slot].set(pose),
         kf_valid=m.kf_valid.at[slot].set(True),
@@ -226,6 +229,7 @@ def insert_keyframe_arrays(m: MapArrays, slot, pose, uv, octave, angle, desc,
         kf_desc=m.kf_desc.at[slot].set(desc),
         kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
         obs_pt=m.obs_pt.at[slot].set(obs_pt_row),
+        kf_ur=kf_ur,
     )
 
 

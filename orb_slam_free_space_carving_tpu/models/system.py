@@ -78,8 +78,32 @@ class System:
             self.carver.poll()
         return pose
 
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                     timestamp: float) -> np.ndarray:
+        """Per-frame stereo entry (System::TrackStereo, System.cc:139-189)."""
+        if img_l.ndim == 3:
+            img_l = img_l.mean(axis=-1).astype(np.uint8)
+        if img_r.ndim == 3:
+            img_r = img_r.mean(axis=-1).astype(np.uint8)
+        pose = self.tracker.track_stereo(img_l, img_r, timestamp)
+        if self.carver is not None:
+            self.carver.poll()
+        return pose
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                   timestamp: float) -> np.ndarray:
+        """Per-frame RGB-D entry (System::TrackRGBD, System.cc:191-239)."""
+        if img.ndim == 3:
+            img = img.mean(axis=-1).astype(np.uint8)
+        pose = self.tracker.track_rgbd(img, depth, timestamp)
+        if self.carver is not None:
+            self.carver.poll()
+        return pose
+
     # Reference API aliases -------------------------------------------------
     TrackMonocular = track_monocular
+    TrackStereo = track_stereo
+    TrackRGBD = track_rgbd
 
     def activate_localization_mode(self):
         """System.cc:293-297 — stop mapping, track only."""

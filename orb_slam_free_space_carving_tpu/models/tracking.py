@@ -118,13 +118,17 @@ def _track_localmap_step(pose, pt_xyz, pt_desc, pt_mask, pt_maxdist, pt_normal,
 
 @jax.jit
 def _pose_opt_from_bindings(pose, track_pt, pt_xyz_all, frame_feat,
-                            frame_inv_sigma2, intr):
-    """Final pose optimization over every feature->point binding of the frame."""
+                            frame_inv_sigma2, intr, frame_ur=None, bf=0.0):
+    """Final pose optimization over every feature->point binding of the frame.
+
+    ``frame_ur`` (stereo/RGB-D frames) adds the uR residual rows with the
+    stereo chi2 threshold (Optimizer.cc:326-373 stereo pose edges)."""
     bound = track_pt >= 0
     sel_pt = jnp.clip(track_pt, 0, pt_xyz_all.shape[0] - 1)
     pts = pt_xyz_all[sel_pt]
     res = pose_opt.optimize_pose(
-        pose, pts, frame_feat.uv_und, frame_inv_sigma2, bound, intr
+        pose, pts, frame_feat.uv_und, frame_inv_sigma2, bound, intr,
+        ur_obs=frame_ur, bf=bf,
     )
     return res.pose, res.inliers, res.n_inliers
 
@@ -339,6 +343,110 @@ class Tracker:
         )
         self.trajectory.append((timestamp, pose.copy(), self.state))
         return pose
+
+    # ------------------------------------------------------------------
+    # Stereo / RGB-D entries (Tracking::GrabImageStereo/GrabImageRGBD)
+    # ------------------------------------------------------------------
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                     timestamp: float) -> np.ndarray:
+        self.frame_idx += 1
+        frame = self.builder.stereo(img_l, img_r)
+        return self._track_with_depth(frame, timestamp)
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                   timestamp: float) -> np.ndarray:
+        self.frame_idx += 1
+        frame = self.builder.rgbd(img, depth)
+        return self._track_with_depth(frame, timestamp)
+
+    def _track_with_depth(self, frame: FrameData, timestamp: float):
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self._stereo_initialization(frame, timestamp)
+        else:
+            self._track_frame(frame, timestamp)
+        pose = np.asarray(
+            self.last_frame.pose if self.last_frame is not None
+            else lie.se3_identity()
+        )
+        self.trajectory.append((timestamp, pose.copy(), self.state))
+        return pose
+
+    def _stereo_initialization(self, frame: FrameData, timestamp: float):
+        """StereoInitialization (Tracking.cc:518-570): with >=500 features the
+        first frame becomes a keyframe at the origin and every feature with a
+        stereo/RGB-D depth unprojects to a map point — metric scale from the
+        first frame, no two-view bootstrap needed."""
+        n_valid = int(jnp.sum(frame.feat.valid))
+        if n_valid < 500:
+            self.last_frame = frame
+            self.state = NOT_INITIALIZED
+            return
+
+        depth_np = np.asarray(frame.depth)
+        valid_np = np.asarray(frame.feat.valid)
+        feats = np.where((depth_np > 0) & valid_np)[0]
+        if feats.size < 50:
+            self.last_frame = frame
+            self.state = NOT_INITIALIZED
+            return
+
+        kf = self.host.alloc_keyframe()
+        pids = self.host.alloc_points(feats.size)
+        N = frame.feat.capacity
+        obs = np.full(N, -1, np.int32)
+        obs[feats] = pids
+        self.host.obs_pt[kf] = obs
+        self.host.kf_frame_id[kf] = self.frame_idx
+        self.host.kf_timestamp[kf] = timestamp
+
+        uv_np = np.asarray(frame.feat.uv_und)[feats]
+        d = depth_np[feats]
+        cam = self.cfg.camera
+        xyz = np.stack([
+            (uv_np[:, 0] - cam.cx) / cam.fx * d,
+            (uv_np[:, 1] - cam.cy) / cam.fy * d,
+            d,
+        ], axis=-1).astype(np.float32)      # pose = identity: camera == world
+
+        f = frame.feat
+        m = ms.insert_keyframe_arrays(
+            self.m, kf, lie.se3_identity(), f.uv_und, f.octave, f.angle,
+            f.desc, f.valid, jnp.asarray(obs), ur_row=frame.u_right,
+        )
+        sf = self.cfg.orb.scale_factor
+        oct_np = np.asarray(f.octave)[feats]
+        dist = np.linalg.norm(xyz, axis=-1)
+        max_dist = dist * (sf ** oct_np)
+        min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
+        normal = xyz / np.maximum(dist[:, None], 1e-9)
+        m = ms.add_points_arrays(
+            m, jnp.asarray(pids), jnp.asarray(xyz),
+            f.desc[jnp.asarray(feats)], jnp.asarray(normal, jnp.float32),
+            jnp.asarray(min_dist, jnp.float32), jnp.asarray(max_dist, jnp.float32),
+            jnp.full(feats.size, kf, jnp.int32), jnp.full(feats.size, kf, jnp.int32),
+            jnp.ones(feats.size, bool),
+        )
+        self.m = m
+
+        self.host.update_covisibility(kf)
+        self.host.journal.append(ms.JournalEvent(
+            kind="keyframe", kf=kf, cam_center=np.zeros(3),
+            new_points=xyz.astype(np.float64), new_point_ids=pids.astype(np.int64),
+            vis_ids=pids.copy(),
+        ))
+
+        track_pt = obs.copy()
+        self.last_track_pt = track_pt
+        self._track_pt_dev = jnp.asarray(track_pt)
+        self.last_frame = frame._replace(pose=lie.se3_identity())
+        self.ref_kf = kf
+        self.last_kf_frame_idx = self.frame_idx
+        self.velocity = None
+        self.state = OK
+        self.n_tracked = feats.size
+        if self.local_mapper is not None:
+            self.local_mapper.on_keyframe(kf)
+        self._refresh_local_points()
 
     # ------------------------------------------------------------------
     # Fused fast path: one device dispatch per frame
@@ -643,7 +751,7 @@ class Tracker:
             )
 
         # Keyframe decision + creation.
-        if self._need_new_keyframe(n_inliers):
+        if self._need_new_keyframe(n_inliers, frame=frame, track_pt=track_pt):
             self._create_new_keyframe(frame, timestamp, track_pt)
 
         self.last_frame = frame
@@ -767,6 +875,7 @@ class Tracker:
         pose, inliers, n_inl = _pose_opt_from_bindings(
             frame.pose, jnp.asarray(track_pt), m.pt_xyz, frame.feat,
             frame.inv_sigma2, self.intr,
+            frame_ur=frame.u_right, bf=self.cfg.camera.bf,
         )
         inl_np = np.asarray(inliers)
         track_pt = np.where(inl_np | (track_pt < 0), track_pt, -1)
@@ -785,8 +894,14 @@ class Tracker:
         return frame._replace(pose=pose), track_pt, int(n_inl)
 
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self, n_inliers: int) -> bool:
-        """Keyframe policy c1a|c1b|c1c & c2 (Tracking.cc:986-1070)."""
+    def _need_new_keyframe(self, n_inliers: int, frame: FrameData = None,
+                           track_pt: np.ndarray = None) -> bool:
+        """Keyframe policy c1a|c1b|c1c & c2 (Tracking.cc:986-1070).
+
+        For stereo/RGB-D frames the close-point pressure condition applies:
+        bNeedToInsertClose = tracked-close < 100 and untracked-close > 70
+        (``Tracking.cc:1010-1026``), and the reference-match ratio drops to
+        0.75 (``:1028-1033``)."""
         tcfg = self.cfg.tracking
         if self.ref_kf < 0:
             return False
@@ -795,23 +910,45 @@ class Tracker:
         ref_obs = self.host.obs_pt[self.ref_kf]
         n_ref = int((ref_obs >= 0).sum())
         frames_since = self.frame_idx - self.last_kf_frame_idx
+
+        need_close = False
+        ratio = tcfg.kf_min_ratio_refkf
+        if frame is not None and frame.depth is not None and track_pt is not None:
+            d = np.asarray(frame.depth)
+            close = (d > 0) & (d < self.cfg.camera.th_depth_m)
+            tracked_close = int((close & (track_pt >= 0)).sum())
+            untracked_close = int((close & (track_pt < 0)).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+            ratio = 0.75
+
         c1a = frames_since >= tcfg.max_frames_between_kf
         c1b = frames_since >= tcfg.min_frames_between_kf and mapper_idle
-        c1c = n_inliers < n_ref * 0.25
-        c2 = n_inliers < n_ref * tcfg.kf_min_ratio_refkf and n_inliers > 15
+        c1c = n_inliers < n_ref * 0.25 or need_close
+        if frame is None or frame.depth is None:
+            c1c = n_inliers < n_ref * 0.25
+        c2 = (n_inliers < n_ref * ratio or need_close) and n_inliers > 15
         return bool((c1a or c1b or c1c) and c2)
 
     def _create_new_keyframe(self, frame: FrameData, timestamp: float,
                              track_pt: np.ndarray):
         """Tracking.cc:1072-1150 + CARV AddKeyFrameEntry hook."""
         kf = self.host.alloc_keyframe()
+        new_xyz = np.zeros((0, 3))
+        new_pids = np.zeros(0, np.int64)
+        if frame.depth is not None:
+            # Close-point insertion (Tracking.cc:1098-1146): unbound features
+            # with depth become map points, nearest first, until depth exceeds
+            # ThDepth and at least 100 points exist.
+            track_pt, new_xyz, new_pids = self._insert_depth_points(
+                frame, kf, track_pt
+            )
         self.host.obs_pt[kf] = track_pt
         self.host.kf_frame_id[kf] = self.frame_idx
         self.host.kf_timestamp[kf] = timestamp
         f = frame.feat
         self.m = ms.insert_keyframe_arrays(
             self.m, kf, frame.pose, f.uv_und, f.octave, f.angle, f.desc,
-            f.valid, jnp.asarray(track_pt),
+            f.valid, jnp.asarray(track_pt), ur_row=frame.u_right,
         )
         self.host.update_covisibility(kf)
         self.ref_kf = kf
@@ -822,9 +959,64 @@ class Tracker:
         vis_ids = track_pt[track_pt >= 0]
         self.host.journal.append(ms.JournalEvent(
             kind="keyframe", kf=kf, cam_center=center,
-            new_points=np.zeros((0, 3)), new_point_ids=np.zeros(0, np.int64),
+            new_points=new_xyz, new_point_ids=new_pids,
             vis_ids=vis_ids.copy(),
         ))
         if self.local_mapper is not None:
             self.local_mapper.on_keyframe(kf)
         self._refresh_local_points()
+
+    def _insert_depth_points(self, frame: FrameData, kf: int,
+                             track_pt: np.ndarray):
+        """Create map points from stereo/RGB-D depth for unbound features
+        (Tracking.cc:1098-1146).  Returns (track_pt', new_xyz, new_pids)."""
+        d = np.asarray(frame.depth)
+        valid = np.asarray(frame.feat.valid)
+        unbound = (track_pt < 0) & valid & (d > 0)
+        cand = np.where(unbound)[0]
+        if cand.size == 0:
+            return track_pt, np.zeros((0, 3)), np.zeros(0, np.int64)
+        order = cand[np.argsort(d[cand])]
+        th = self.cfg.camera.th_depth_m
+        n_close = int((d[order] <= th).sum())
+        take = order[: max(n_close, min(100, order.size))]
+        if take.size == 0:
+            return track_pt, np.zeros((0, 3)), np.zeros(0, np.int64)
+        try:
+            pids = self.host.alloc_points(take.size)
+        except RuntimeError:
+            return track_pt, np.zeros((0, 3)), np.zeros(0, np.int64)
+
+        uv_np = np.asarray(frame.feat.uv_und)[take]
+        dz = d[take]
+        cam = self.cfg.camera
+        xyz_c = np.stack([
+            (uv_np[:, 0] - cam.cx) / cam.fx * dz,
+            (uv_np[:, 1] - cam.cy) / cam.fy * dz,
+            dz,
+        ], axis=-1).astype(np.float32)
+        T_wc = lie.se3_inverse(frame.pose)
+        xyz_w = np.asarray(lie.se3_apply(T_wc, jnp.asarray(xyz_c)))
+        center = np.asarray(T_wc)[4:7]
+
+        sf = self.cfg.orb.scale_factor
+        oct_np = np.asarray(frame.feat.octave)[take]
+        dist = np.linalg.norm(xyz_w - center, axis=-1)
+        max_dist = dist * (sf ** oct_np)
+        min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
+        normal = (xyz_w - center) / np.maximum(dist[:, None], 1e-9)
+        self.m = ms.add_points_arrays(
+            self.m, jnp.asarray(pids), jnp.asarray(xyz_w, jnp.float32),
+            frame.feat.desc[jnp.asarray(take)], jnp.asarray(normal, jnp.float32),
+            jnp.asarray(min_dist, jnp.float32), jnp.asarray(max_dist, jnp.float32),
+            jnp.full(take.size, kf, jnp.int32), jnp.full(take.size, kf, jnp.int32),
+            jnp.ones(take.size, bool),
+        )
+        track_pt = track_pt.copy()
+        track_pt[take] = pids
+        if self.local_mapper is not None:
+            for pid in pids:
+                self.local_mapper.recent_points.append(
+                    (int(pid), self.local_mapper.kf_counter)
+                )
+        return track_pt, xyz_w.astype(np.float64), pids.astype(np.int64)

@@ -28,7 +28,7 @@ for keyframe-sharded execution with ``psum`` (see parallel/).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,13 @@ from orb_slam_free_space_carving_tpu.utils import camera, lie
 
 
 class BAProblem(NamedTuple):
-    """Fixed-capacity BA problem. C cameras, P points, O observations."""
+    """Fixed-capacity BA problem. C cameras, P points, O observations.
+
+    ``obs_ur`` (optional): right x coordinate per observation (-1 = mono).
+    When present the residual gains the stereo row uR = u - bf/z like the
+    reference's EdgeStereoSE3ProjectXYZ (``Optimizer.cc:158-186``), with
+    ``bf`` supplied to the solver.
+    """
 
     cam_poses: jnp.ndarray    # [C,7] Tcw
     cam_free: jnp.ndarray     # [C] bool — optimized vs fixed anchors
@@ -48,6 +54,7 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray       # [O,2] undistorted pixels
     obs_inv_sigma2: jnp.ndarray  # [O]
     obs_mask: jnp.ndarray     # [O] bool
+    obs_ur: Optional[jnp.ndarray] = None  # [O] right x or -1 (None = all mono)
 
 
 class BAResult(NamedTuple):
@@ -73,7 +80,24 @@ def _duv_dxc(xc, intr):
     )  # [...,2,3]
 
 
-def _linearize(prob: BAProblem, cam_poses, points, intr, chi2_th, robust):
+def _obs_residual(prob: BAProblem, cam_poses, points, intr, bf):
+    """Residual rows per observation: [O,2] mono or [O,3] with the stereo row
+    (uR = u - bf/z) zeroed where there is no right-x measurement."""
+    pose_o = cam_poses[prob.obs_cam]
+    pt_o = points[prob.obs_point]
+    xc = lie.se3_apply(pose_o, pt_o)
+    uv = camera.project(xc, intr)
+    e = uv - prob.obs_uv                                     # [O,2]
+    if prob.obs_ur is not None:
+        z = jnp.maximum(xc[..., 2], 1e-6)
+        ur_mask = prob.obs_ur >= 0
+        e_ur = (uv[..., 0] - bf / z - prob.obs_ur) * ur_mask.astype(e.dtype)
+        e = jnp.concatenate([e, e_ur[..., None]], axis=-1)   # [O,3]
+    return e, xc
+
+
+def _linearize(prob: BAProblem, cam_poses, points, intr, chi2_th, robust,
+               bf: float = 0.0):
     """Per-observation linearization shared by dense and CG paths."""
     pose_o = cam_poses[prob.obs_cam]
     pt_o = points[prob.obs_point]
@@ -83,8 +107,23 @@ def _linearize(prob: BAProblem, cam_poses, points, intr, chi2_th, robust):
     e = uv - prob.obs_uv                                     # [O,2]
     duv = _duv_dxc(xc, intr)                                 # [O,2,3]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
-    Jc = duv @ jnp.concatenate([eye, -lie.hat(xc)], axis=-1)  # [O,2,6]
+    dxc_dxi = jnp.concatenate([eye, -lie.hat(xc)], axis=-1)   # [O,3,6]
+    Jc = duv @ dxc_dxi                                        # [O,2,6]
     Jp = duv @ R_o                                            # [O,2,3]
+
+    if prob.obs_ur is not None:
+        # Stereo row: d uR/d xc = d u/d xc + [0,0,bf/z^2] (g2o stereo edge).
+        z = jnp.maximum(xc[..., 2], 1e-6)
+        ur_mask = (prob.obs_ur >= 0).astype(e.dtype)
+        e_ur = (uv[..., 0] - bf / z - prob.obs_ur) * ur_mask
+        dur_dxc = duv[..., 0, :] + (bf / (z * z))[..., None] * jnp.asarray(
+            [0.0, 0.0, 1.0], e.dtype
+        )
+        Jc_ur = jnp.einsum("oi,oik->ok", dur_dxc, dxc_dxi) * ur_mask[..., None]
+        Jp_ur = jnp.einsum("oi,oik->ok", dur_dxc, R_o) * ur_mask[..., None]
+        e = jnp.concatenate([e, e_ur[..., None]], axis=-1)
+        Jc = jnp.concatenate([Jc, Jc_ur[..., None, :]], axis=-2)  # [O,3,6]
+        Jp = jnp.concatenate([Jp, Jp_ur[..., None, :]], axis=-2)  # [O,3,3]
 
     valid = (
         prob.obs_mask
@@ -102,12 +141,8 @@ def _linearize(prob: BAProblem, cam_poses, points, intr, chi2_th, robust):
     return e, Jc, Jp, w, chi2, valid
 
 
-def _robust_cost(prob, cam_poses, points, intr, chi2_th):
-    pose_o = cam_poses[prob.obs_cam]
-    pt_o = points[prob.obs_point]
-    xc = lie.se3_apply(pose_o, pt_o)
-    uv = camera.project(xc, intr)
-    e = uv - prob.obs_uv
+def _robust_cost(prob, cam_poses, points, intr, chi2_th, bf: float = 0.0):
+    e, xc = _obs_residual(prob, cam_poses, points, intr, bf)
     valid = prob.obs_mask & prob.point_valid[prob.obs_point] & (xc[..., 2] > 1e-6)
     chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
     # Huber rho
@@ -145,6 +180,8 @@ def ba_solve(
     chi2_th: float = 5.991,
     robust: bool = True,
     lm_lambda0: float = 1e-4,
+    bf: float = 0.0,
+    chi2_th_stereo: float = 7.815,
 ) -> BAResult:
     """Dense-Schur LM bundle adjustment with static shapes.
 
@@ -155,11 +192,13 @@ def ba_solve(
     """
     C = prob.cam_poses.shape[0]
     P = prob.points.shape[0]
+    if prob.obs_ur is not None:
+        chi2_th = jnp.where(prob.obs_ur >= 0, chi2_th_stereo, chi2_th)
 
     def lm_iter(_, carry):
         cam_poses, points, lam, cost = carry
         e, Jc, Jp, w, _, _ = _linearize(
-            prob, cam_poses, points, intr, chi2_th, robust
+            prob, cam_poses, points, intr, chi2_th, robust, bf
         )
         wJc = Jc * w[:, None, None]
         wJp = Jp * w[:, None, None]
@@ -215,7 +254,7 @@ def ba_solve(
         )
         new_points = points + dxp
 
-        new_cost = _robust_cost(prob, new_poses, new_points, intr, chi2_th)
+        new_cost = _robust_cost(prob, new_poses, new_points, intr, chi2_th, bf)
         accept = new_cost < cost
         cam_poses = jnp.where(accept, new_poses, cam_poses)
         points = jnp.where(accept, new_points, points)
@@ -224,17 +263,15 @@ def ba_solve(
         cost = jnp.where(accept, new_cost, cost)
         return cam_poses, points, lam, cost
 
-    cost0 = _robust_cost(prob, prob.cam_poses, prob.points, intr, chi2_th)
+    cost0 = _robust_cost(prob, prob.cam_poses, prob.points, intr, chi2_th, bf)
     cam_poses, points, _, cost = jax.lax.fori_loop(
         0, iterations, lm_iter,
         (prob.cam_poses, prob.points, jnp.float32(lm_lambda0), cost0),
     )
 
     # Final chi2 for outlier erasure by the caller (Optimizer.cc:711-757).
-    pose_o = cam_poses[prob.obs_cam]
-    xc = lie.se3_apply(pose_o, points[prob.obs_point])
-    uv = camera.project(xc, intr)
-    chi2 = jnp.sum((uv - prob.obs_uv) ** 2, axis=-1) * prob.obs_inv_sigma2
+    e, xc = _obs_residual(prob, cam_poses, points, intr, bf)
+    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
     chi2 = jnp.where(xc[..., 2] > 0, chi2, jnp.inf)
     return BAResult(cam_poses=cam_poses, points=points, obs_chi2=chi2, cost=cost)
 
@@ -262,6 +299,8 @@ def ba_solve_cg(
     chi2_th: float = 5.991,
     robust: bool = True,
     lm_lambda0: float = 1e-4,
+    bf: float = 0.0,
+    chi2_th_stereo: float = 7.815,
 ) -> BAResult:
     """Same LM outer loop, but the reduced camera system is solved with
     preconditioned conjugate gradients instead of a dense factorization.
@@ -273,10 +312,14 @@ def ba_solve_cg(
     """
     C = prob.cam_poses.shape[0]
     P = prob.points.shape[0]
+    if prob.obs_ur is not None:
+        chi2_th = jnp.where(prob.obs_ur >= 0, chi2_th_stereo, chi2_th)
 
     def lm_iter(_, carry):
         cam_poses, points, lam, cost = carry
-        e, Jc, Jp, w, _, _ = _linearize(prob, cam_poses, points, intr, chi2_th, robust)
+        e, Jc, Jp, w, _, _ = _linearize(
+            prob, cam_poses, points, intr, chi2_th, robust, bf
+        )
         wJc = Jc * w[:, None, None]
         wJp = Jp * w[:, None, None]
         Ublk = jax.ops.segment_sum(
@@ -336,7 +379,7 @@ def ba_solve_cg(
 
         new_poses = jax.vmap(lie.se3_retract)(cam_poses, dxc * prob.cam_free[:, None])
         new_points = points + dxp
-        new_cost = _robust_cost(prob, new_poses, new_points, intr, chi2_th)
+        new_cost = _robust_cost(prob, new_poses, new_points, intr, chi2_th, bf)
         accept = new_cost < cost
         cam_poses = jnp.where(accept, new_poses, cam_poses)
         points = jnp.where(accept, new_points, points)
@@ -344,14 +387,12 @@ def ba_solve_cg(
         cost = jnp.where(accept, new_cost, cost)
         return cam_poses, points, lam, cost
 
-    cost0 = _robust_cost(prob, prob.cam_poses, prob.points, intr, chi2_th)
+    cost0 = _robust_cost(prob, prob.cam_poses, prob.points, intr, chi2_th, bf)
     cam_poses, points, _, cost = jax.lax.fori_loop(
         0, iterations, lm_iter,
         (prob.cam_poses, prob.points, jnp.float32(lm_lambda0), cost0),
     )
-    pose_o = cam_poses[prob.obs_cam]
-    xc = lie.se3_apply(pose_o, points[prob.obs_point])
-    uv = camera.project(xc, intr)
-    chi2 = jnp.sum((uv - prob.obs_uv) ** 2, axis=-1) * prob.obs_inv_sigma2
+    e, xc = _obs_residual(prob, cam_poses, points, intr, bf)
+    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
     chi2 = jnp.where(xc[..., 2] > 0, chi2, jnp.inf)
     return BAResult(cam_poses=cam_poses, points=points, obs_chi2=chi2, cost=cost)

@@ -137,13 +137,15 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> List[i
     return budgets
 
 
-def extract_features(img_u8: jnp.ndarray, cfg: ORBConfig, capacity: int | None = None
-                     ) -> Features:
+def extract_features(img_u8: jnp.ndarray, cfg: ORBConfig, capacity: int | None = None,
+                     return_pyramid: bool = False):
     """Full ORB extraction: pyramid -> FAST -> orientation -> descriptors.
 
     Jit-compatible for a fixed image shape; returns Features padded to
     ``capacity`` (default cfg.n_features_pad).  Mirrors
     ``ORBextractor::operator()`` (``src/ORBextractor.cc:1043-1105``).
+    With ``return_pyramid`` also returns the level images (for the stereo SAD
+    refinement, ops/stereo.py).
     """
     capacity = capacity or cfg.n_features_pad
     levels, blurred = pyr_ops.build_pyramid(img_u8, cfg.n_levels, cfg.scale_factor)
@@ -193,7 +195,7 @@ def extract_features(img_u8: jnp.ndarray, cfg: ORBConfig, capacity: int | None =
         angle, octave = angle[order], octave[order]
         desc, valid = desc[order], valid[order]
 
-    return Features(
+    feat = Features(
         xy=xy,
         uv_und=xy,  # frame builder overwrites with undistorted coords
         response=response,
@@ -202,3 +204,6 @@ def extract_features(img_u8: jnp.ndarray, cfg: ORBConfig, capacity: int | None =
         desc=desc,
         valid=valid,
     )
+    if return_pyramid:
+        return feat, levels
+    return feat

@@ -83,8 +83,14 @@ def make_room_scene(seed: int = 0, extent: float = 4.0) -> List[Quad]:
     return quads
 
 
-def render(scene: List[Quad], cam: CameraConfig, pose_cw_Rt) -> np.ndarray:
-    """Render grayscale uint8 image from pose (R, t) with x_c = R x_w + t."""
+def render(scene: List[Quad], cam: CameraConfig, pose_cw_Rt,
+           return_depth: bool = False):
+    """Render grayscale uint8 image from pose (R, t) with x_c = R x_w + t.
+
+    With ``return_depth`` also returns the exact z-buffer [H,W] float32
+    (camera-frame depth; inf where no surface) — ground truth for the
+    stereo/RGB-D front-end tests.
+    """
     R, t = pose_cw_Rt
     H, W = cam.height, cam.width
     u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
@@ -131,7 +137,11 @@ def render(scene: List[Quad], cam: CameraConfig, pose_cw_Rt) -> np.ndarray:
         )
         img = np.where(valid, tex, img)
         best_t = np.where(valid, tt, best_t)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    out = np.clip(img, 0, 255).astype(np.uint8)
+    if return_depth:
+        # Ray parameter == camera z because dirs_c has unit z component.
+        return out, best_t.astype(np.float32)
+    return out
 
 
 def orbit_trajectory(n_frames: int, radius: float = 0.4, depth_amp: float = 0.25,
@@ -193,6 +203,24 @@ class SyntheticSequence:
     def __iter__(self):
         for i in range(self.n_frames):
             yield self.frame(i)
+
+    def frame_with_depth(self, i: int):
+        """(timestamp, image, exact depth map) — RGB-D ground truth."""
+        img, depth = render(self.scene, self.cam, self.poses_cw[i],
+                            return_depth=True)
+        return self.timestamps[i], img, depth
+
+    def stereo_frame(self, i: int, baseline: float):
+        """(timestamp, left image, right image): the right camera is the left
+        one translated by ``baseline`` along its +x axis (x_r = x_l - b)."""
+        R, t = self.poses_cw[i]
+        left = self._cache.get(i)
+        if left is None:
+            left = render(self.scene, self.cam, (R, t))
+            self._cache[i] = left
+        t_r = t + np.array([-baseline, 0.0, 0.0])
+        right = render(self.scene, self.cam, (R, t_r))
+        return self.timestamps[i], left, right
 
     def gt_positions(self) -> np.ndarray:
         """Camera centers in world frame, [N,3]."""

@@ -69,7 +69,9 @@ def main():
     for i, (ts, img) in enumerate(frames):
         tf = time.perf_counter()
         sysm.track_monocular(img, ts)
-        times.setdefault("frame_total", []).append(time.perf_counter() - tf)
+        dt = time.perf_counter() - tf
+        times.setdefault("frame_total", []).append(dt)
+        print(f"frame {i}: {dt*1e3:.0f}ms", flush=True)
     total = time.perf_counter() - t0
     print(f"\ntotal {total:.1f}s, {n/total:.2f} fps, kfs={int(sysm.map_host.kf_valid.sum())}")
     for k, v in sorted(times.items(), key=lambda kv: -sum(kv[1])):
