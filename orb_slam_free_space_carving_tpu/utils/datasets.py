@@ -78,6 +78,85 @@ def load_euroc_mono(sequence_dir: str, timestamp_file: str) -> ImageSequence:
     return ImageSequence(ts, paths)
 
 
+@dataclass
+class StereoSequence:
+    """Paired left/right image lists (KITTI image_0/image_1, EuRoC cam0/cam1)."""
+
+    timestamps: List[float]
+    left_paths: List[str]
+    right_paths: List[str]
+
+    def __len__(self):
+        return len(self.timestamps)
+
+    def frame(self, i: int) -> Tuple[float, np.ndarray, np.ndarray]:
+        return (self.timestamps[i], _imread_gray(self.left_paths[i]),
+                _imread_gray(self.right_paths[i]))
+
+
+def load_kitti_stereo(sequence_dir: str) -> StereoSequence:
+    """KITTI odometry stereo pairs (``Examples/Stereo/stereo_kitti.cc``
+    LoadImages: image_0 = left gray, image_1 = right gray)."""
+    with open(os.path.join(sequence_dir, "times.txt")) as f:
+        ts = [float(line) for line in f if line.strip()]
+    l_dir = os.path.join(sequence_dir, "image_0")
+    r_dir = os.path.join(sequence_dir, "image_1")
+    left = [os.path.join(l_dir, f"{i:06d}.png") for i in range(len(ts))]
+    right = [os.path.join(r_dir, f"{i:06d}.png") for i in range(len(ts))]
+    return StereoSequence(ts, left, right)
+
+
+def load_euroc_stereo(sequence_dir: str, timestamp_file: str) -> StereoSequence:
+    """EuRoC stereo (``Examples/Stereo/stereo_euroc.cc``): cam0/cam1 +
+    timestamp list.  NOTE: raw EuRoC needs rectification; supply rectified
+    data or accept approximate row alignment."""
+    with open(timestamp_file) as f:
+        stamps = [line.strip() for line in f if line.strip()]
+    ts = [float(s) / 1e9 for s in stamps]
+    l_dir = os.path.join(sequence_dir, "mav0", "cam0", "data")
+    r_dir = os.path.join(sequence_dir, "mav0", "cam1", "data")
+    left = [os.path.join(l_dir, s + ".png") for s in stamps]
+    right = [os.path.join(r_dir, s + ".png") for s in stamps]
+    return StereoSequence(ts, left, right)
+
+
+@dataclass
+class RGBDSequence:
+    """Associated RGB + depth image lists (TUM association format)."""
+
+    timestamps: List[float]
+    rgb_paths: List[str]
+    depth_paths: List[str]
+
+    def __len__(self):
+        return len(self.timestamps)
+
+    def frame(self, i: int) -> Tuple[float, np.ndarray, np.ndarray]:
+        import cv2
+
+        depth = cv2.imread(self.depth_paths[i], cv2.IMREAD_UNCHANGED)
+        if depth is None:
+            raise FileNotFoundError(self.depth_paths[i])
+        return (self.timestamps[i], _imread_gray(self.rgb_paths[i]),
+                depth.astype(np.float32))
+
+
+def load_tum_rgbd_assoc(sequence_dir: str, association_file: str) -> RGBDSequence:
+    """Associations file ``t_rgb rgb_path t_depth depth_path``
+    (``Examples/RGB-D/rgbd_tum.cc`` LoadImages)."""
+    ts, rgb, depth = [], [], []
+    with open(association_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = line.split()
+            ts.append(float(v[0]))
+            rgb.append(os.path.join(sequence_dir, v[1]))
+            depth.append(os.path.join(sequence_dir, v[3]))
+    return RGBDSequence(ts, rgb, depth)
+
+
 def load_tum_rgbd(sequence_dir: str, association_file: str) -> ImageSequence:
     """Associations file: ``t_rgb rgb_path t_depth depth_path`` (rgbd_tum.cc)."""
     ts, rgb, depth = [], [], []
