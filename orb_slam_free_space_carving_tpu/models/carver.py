@@ -46,6 +46,10 @@ class Carver:
         self.faces: Optional[np.ndarray] = None      # [F,3] int (triangles)
         self.field: Optional[np.ndarray] = None
         self.n_meshes = 0
+        # Texture queue (Modeler::AddTexture/GetTextures keeps the 10 most
+        # recent keyframe images, Modeler.cc:1474-1531).
+        self.max_textures = 10
+        self.textures: list = []     # [(kf_slot, gray image np.uint8)]
 
     @property
     def m(self) -> ms.MapArrays:
@@ -71,6 +75,124 @@ class Carver:
         self.faces = None
         self._kfs_since_mesh = 0
         self._n_kf_seen = 0
+        self.textures = []
+
+    # ------------------------------------------------------------------
+    # Texture queue (TextureFrame + Modeler::AddTexture/GetTextures)
+    # ------------------------------------------------------------------
+    def add_texture(self, kf: int, img: np.ndarray):
+        """Keep the image of a new keyframe for mesh texturing
+        (Modeler::AddTexture, ``Modeler.cc:1474-1494``)."""
+        self.textures.append((int(kf), np.asarray(img, np.uint8).copy()))
+        if len(self.textures) > self.max_textures:
+            self.textures.pop(0)
+
+    def get_textures(self, n: int = 10):
+        """Most recent n texture keyframes (Modeler::GetTextures)."""
+        return self.textures[-n:]
+
+    def _texture_uv(self, kf: int, xyz: np.ndarray):
+        """Project world points into keyframe kf -> ([n,2] uv in [0,1], ok).
+
+        The TextureFrame::GetTexCoordinate capability
+        (``src/Modeler/TextureFrame.cc:9-111``): perspective projection with
+        the *current* (BA-refined) keyframe pose.
+        """
+        cam = self.cfg.camera
+        pose = self.m.kf_pose[kf]
+        xc = np.asarray(lie.se3_apply(pose, jnp.asarray(xyz, jnp.float32)))
+        z = np.maximum(xc[:, 2], 1e-6)
+        u = cam.fx * xc[:, 0] / z + cam.cx
+        v = cam.fy * xc[:, 1] / z + cam.cy
+        ok = (xc[:, 2] > 0.05) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        return np.stack([u / cam.width, v / cam.height], axis=-1), ok
+
+    def save_textured_obj(self, path: str):
+        """Textured mesh export: OBJ + MTL + texture atlas PNG.
+
+        Per-triangle texture selection follows ModelDrawer's textured draw
+        (``ModelDrawer.cc:13-118``): each triangle takes the keyframe that
+        faces it best (max cosine between the viewing ray and the camera
+        axis) among those that see its centroid; UVs are projective.  The
+        atlas stacks the texture keyframes vertically.
+        """
+        if self.vertices is None:
+            self.update_mesh()
+        if self.vertices is None or not len(self.textures):
+            return self.save_obj(path)
+        v, f = self.vertices, self.faces
+        cam = self.cfg.camera
+        T = len(self.textures)
+        centroids = v[f].mean(axis=1)                      # [F,3]
+
+        centers = np.asarray(lie.se3_inverse(self.m.kf_pose))[:, 4:7]
+        best_score = np.full(len(f), -np.inf)
+        best_tex = np.full(len(f), -1, np.int64)
+        uv_per_tex = []
+        for ti, (kf, _img) in enumerate(self.textures):
+            uvc, okc = self._texture_uv(kf, centroids)
+            # Facing score: cosine between the ray to the centroid and the
+            # camera optical axis (ModelDrawer best-facing heuristic).
+            ray = centroids - centers[kf]
+            ray = ray / np.maximum(np.linalg.norm(ray, axis=-1, keepdims=True), 1e-9)
+            Rwc = np.asarray(lie.quat_to_matrix(
+                jnp.asarray(lie.se3_inverse(self.m.kf_pose[kf])[:4])
+            ))
+            axis = Rwc[:, 2]                                # camera +z in world
+            score = ray @ axis
+            score = np.where(okc, score, -np.inf)
+            take = score > best_score
+            best_score = np.where(take, score, best_score)
+            best_tex = np.where(take, ti, best_tex)
+            uvv, okv = self._texture_uv(kf, v)
+            uv_per_tex.append(uvv)
+
+        textured = best_tex >= 0
+        # Atlas: stack images vertically; uv row ti occupies
+        # [ti/T, (ti+1)/T] of the atlas v range (flipped for OBJ convention).
+        atlas = np.concatenate([im for _, im in self.textures], axis=0)
+        base = path.rsplit(".", 1)[0]
+        try:
+            import cv2
+
+            cv2.imwrite(base + "_atlas.png", atlas)
+        except Exception:
+            pass
+
+        with open(base + ".mtl", "w") as mf:
+            mf.write("newmtl carved\nKa 1 1 1\nKd 1 1 1\n"
+                     f"map_Kd {base.rsplit('/', 1)[-1]}_atlas.png\n")
+
+        with open(path, "w") as fh:
+            fh.write(f"mtllib {base.rsplit('/', 1)[-1]}.mtl\nusemtl carved\n")
+            for p in v:
+                fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            # One vt per (vertex, texture) pair actually used: emit per face.
+            vt_idx = {}
+            vt_lines = []
+            face_lines = []
+            for fi, tri_ in enumerate(f):
+                if not textured[fi]:
+                    face_lines.append(
+                        f"f {tri_[0]+1} {tri_[1]+1} {tri_[2]+1}\n")
+                    continue
+                ti = int(best_tex[fi])
+                ids = []
+                for vi in tri_:
+                    key = (int(vi), ti)
+                    if key not in vt_idx:
+                        uu, vv = uv_per_tex[ti][vi]
+                        # Atlas v: texture ti occupies rows [ti, ti+1]/T,
+                        # OBJ vt origin is bottom-left -> flip.
+                        av = 1.0 - (ti + vv) / T
+                        vt_idx[key] = len(vt_lines) + 1
+                        vt_lines.append(f"vt {uu:.6f} {av:.6f}\n")
+                    ids.append(vt_idx[key])
+                face_lines.append(
+                    f"f {tri_[0]+1}/{ids[0]} {tri_[1]+1}/{ids[1]} "
+                    f"{tri_[2]+1}/{ids[2]}\n")
+            fh.writelines(vt_lines)
+            fh.writelines(face_lines)
 
     # ------------------------------------------------------------------
     def _constraints(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -65,6 +65,19 @@ class LoopCloser:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def rebuild_database(self):
+        """Recompute BoW vectors for every valid keyframe from the stored
+        descriptors (used after :meth:`System.load_map`)."""
+        m = self.m
+        self.reset()
+        for kf in np.where(self.host.kf_valid)[0]:
+            vec = bow.bow_vector(
+                m.kf_desc[int(kf)], m.kf_feat_valid[int(kf)], self._codebook,
+                n_words=self.cfg.loop.vocab_words,
+            )
+            self.bow_db = self.bow_db.at[int(kf)].set(vec)
+            self.bow_mask[int(kf)] = True
+
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
         m = self.m

@@ -74,9 +74,19 @@ class System:
         if img.ndim == 3:
             img = img.mean(axis=-1).astype(np.uint8)
         pose = self.tracker.track(img, timestamp)
-        if self.carver is not None:
-            self.carver.poll()
+        self._post_track(img)
         return pose
+
+    def _post_track(self, img: np.ndarray):
+        """Per-frame carving hooks (Modeler::AddFrameImage/AddTexture +
+        Run-loop poll): keep the new keyframe's image for texturing and
+        advance the carving stage."""
+        if self.carver is None:
+            return
+        t = self.tracker
+        if t.last_kf_frame_idx == t.frame_idx and t.ref_kf >= 0:
+            self.carver.add_texture(t.ref_kf, img)
+        self.carver.poll()
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float) -> np.ndarray:
@@ -86,8 +96,7 @@ class System:
         if img_r.ndim == 3:
             img_r = img_r.mean(axis=-1).astype(np.uint8)
         pose = self.tracker.track_stereo(img_l, img_r, timestamp)
-        if self.carver is not None:
-            self.carver.poll()
+        self._post_track(img_l)
         return pose
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
@@ -96,8 +105,7 @@ class System:
         if img.ndim == 3:
             img = img.mean(axis=-1).astype(np.uint8)
         pose = self.tracker.track_rgbd(img, depth, timestamp)
-        if self.carver is not None:
-            self.carver.poll()
+        self._post_track(img)
         return pose
 
     # Reference API aliases -------------------------------------------------
@@ -182,3 +190,67 @@ class System:
     def save_mesh_obj(self, path: str):
         if self.carver is not None:
             self.carver.save_obj(path)
+
+    def save_textured_mesh_obj(self, path: str):
+        """Textured mesh export (ModelDrawer textured draw + TextureFrame)."""
+        if self.carver is not None:
+            self.carver.save_textured_obj(path)
+
+    # ------------------------------------------------------------------
+    # Map checkpoint / resume (the reference's acknowledged TODO,
+    # include/System.h:125-127; SURVEY.md section 5 checkpoint/resume)
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """Snapshot the full map state (device arrays + host registry) to one
+        ``.npz``.  Together with the replayable CARV transcript
+        (``carver.write_transcript``) this is the event-sourced checkpoint the
+        reference only half-implements."""
+        m = self.map_arrays
+        host = self.map_host
+        arrays = {f"dev_{k}": np.asarray(v) for k, v in m._asdict().items()}
+        arrays.update(
+            host_kf_valid=host.kf_valid, host_kf_frame_id=host.kf_frame_id,
+            host_kf_timestamp=host.kf_timestamp, host_obs_pt=host.obs_pt,
+            host_pt_valid=host.pt_valid, host_covis=host.covis,
+            host_parent=host.parent, host_n_kf_slots=np.int64(host.n_kf_slots),
+            loop_edges_i=np.array(
+                [i for i, js in host.loop_edges.items() for _ in js], np.int64),
+            loop_edges_j=np.array(
+                [j for _, js in host.loop_edges.items() for j in js], np.int64),
+        )
+        np.savez_compressed(path, **arrays)
+
+    def load_map(self, path: str):
+        """Restore a map snapshot; tracking resumes via relocalization (the
+        localization-from-saved-map mode the reference lacks)."""
+        import jax.numpy as jnp
+
+        data = np.load(path)
+        fields = {
+            k[4:]: jnp.asarray(v) for k, v in data.items() if k.startswith("dev_")
+        }
+        self._map_ref[0] = ms.MapArrays(**fields)
+        host = self.map_host
+        host.kf_valid = data["host_kf_valid"]
+        host.kf_frame_id = data["host_kf_frame_id"]
+        host.kf_timestamp = data["host_kf_timestamp"]
+        host.obs_pt = data["host_obs_pt"]
+        host.pt_valid = data["host_pt_valid"]
+        host.covis = data["host_covis"]
+        host.parent = data["host_parent"]
+        host.n_kf_slots = int(data["host_n_kf_slots"])
+        host.pt_free = [
+            int(i) for i in np.where(~host.pt_valid)[0][::-1]
+        ]
+        host.loop_edges = {}
+        for i, j in zip(data["loop_edges_i"], data["loop_edges_j"]):
+            host.loop_edges.setdefault(int(i), set()).add(int(j))
+        # Rebuild the loop-closer BoW database from stored descriptors.
+        if self.loop_closer is not None:
+            self.loop_closer.rebuild_database()
+        # Tracking must relocalize into the restored map.
+        self.tracker.state = LOST if host.kf_valid.any() else NO_IMAGES_YET
+        self.tracker.ref_kf = int(np.argmax(host.kf_frame_id))
+        self.tracker.velocity = None
+        self.tracker.frame_idx = int(host.kf_frame_id.max()) if host.kf_valid.any() else -1
+        self.tracker.last_kf_frame_idx = self.tracker.frame_idx
