@@ -543,6 +543,13 @@ class LocalMapper:
         ))
         self.ba_times_ms.append(1e3 * (time.perf_counter() - t0))
 
+        # Divergence guard (the reference's abortable BA simply skips the
+        # writeback, LocalMapping.cc:640-643): a solution that makes most of
+        # the window an outlier is discarded wholesale.
+        chi2_w = chi2_all[:n_obs]
+        if n_obs and (chi2_w > self.cfg.optimizer.chi2_mono).mean() > 0.5:
+            return
+
         # Write back poses + points (pad slot indices to capacity C; unused
         # and fixed lanes get an OOB index and are dropped by the scatter).
         K = m.kf_pose.shape[0]

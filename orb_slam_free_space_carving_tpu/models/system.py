@@ -63,6 +63,8 @@ class System:
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
         self.localization_only = False
+        self._prev_img = None
+        self._prev_tex_kf = -1
 
     # ------------------------------------------------------------------
     @property
@@ -80,12 +82,18 @@ class System:
     def _post_track(self, img: np.ndarray):
         """Per-frame carving hooks (Modeler::AddFrameImage/AddTexture +
         Run-loop poll): keep the new keyframe's image for texturing and
-        advance the carving stage."""
+        advance the carving stage.  Keyframe decisions lag one frame in the
+        async fast path, so the previous image is retained."""
         if self.carver is None:
             return
         t = self.tracker
-        if t.last_kf_frame_idx == t.frame_idx and t.ref_kf >= 0:
-            self.carver.add_texture(t.ref_kf, img)
+        if (t.ref_kf >= 0 and t.ref_kf != self._prev_tex_kf
+                and t.last_kf_frame_idx >= t.frame_idx - 1):
+            img_kf = img if t.last_kf_frame_idx == t.frame_idx else self._prev_img
+            if img_kf is not None:
+                self.carver.add_texture(t.ref_kf, img_kf)
+                self._prev_tex_kf = t.ref_kf
+        self._prev_img = img
         self.carver.poll()
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
@@ -134,6 +142,9 @@ class System:
         self.tracker.init_frame = None
         self.tracker.last_frame = None
         self.tracker.velocity = None
+        self.tracker._velocity_dev = None
+        self.tracker._pending = None
+        self.tracker._force_slow = False
         self.tracker.ref_kf = -1
         self.local_mapper.recent_points = []
         self.local_mapper.kf_counter = 0
@@ -144,7 +155,9 @@ class System:
             self.carver.host = self.map_host
 
     def shutdown(self):
-        """Flush async stages (inline mode: finalize carving mesh)."""
+        """Flush async stages + lagged decisions; finalize the carving mesh."""
+        self.tracker._flush_pending()
+        self.tracker.finalize_trajectory()
         if self.carver is not None:
             self.carver.finalize()
 
@@ -174,6 +187,7 @@ class System:
     def save_trajectory_tum(self, path: str):
         from orb_slam_free_space_carving_tpu.utils import trajectory
 
+        self.tracker.finalize_trajectory()
         traj = self.tracker.trajectory
         ts = [t for t, _, s in traj if s == OK]
         poses = np.stack([p for _, p, s in traj if s == OK])
@@ -181,6 +195,7 @@ class System:
 
     def frame_trajectory(self):
         """(timestamps, poses7, states) for every tracked frame."""
+        self.tracker.finalize_trajectory()
         traj = self.tracker.trajectory
         ts = np.array([t for t, _, _ in traj])
         poses = np.stack([p for _, p, _ in traj]) if traj else np.zeros((0, 7))

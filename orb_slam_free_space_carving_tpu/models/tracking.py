@@ -271,7 +271,10 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
         pt_visible=m.pt_visible.at[vis_ids].add(1, mode="drop"),
         pt_found=m.pt_found.at[found_sel].add(1, mode="drop"),
     )
-    return m, feat, frame_is2, pose, track_pt, n_inliers
+    # Constant-velocity model update on device (Tracking.cc:451-459) — keeps
+    # the velocity out of the host round-trip loop entirely.
+    velocity = lie.se3_compose(pose, lie.se3_inverse(last_pose))
+    return m, feat, frame_is2, pose, track_pt, n_inliers, velocity
 
 
 # ---------------------------------------------------------------------------
@@ -292,15 +295,22 @@ class Tracker:
 
         self.state = NO_IMAGES_YET
         self.key = jax.random.PRNGKey(cfg.seed)
-        self.velocity = None                 # [7] relative pose T_cur_last
+        self.velocity = None                 # [7] relative pose T_cur_last (np)
+        self._velocity_dev = None            # [7] device mirror (fast path)
         self.last_frame: Optional[FrameData] = None
         self.last_track_pt: Optional[np.ndarray] = None   # [N] point ids
         self.init_frame: Optional[FrameData] = None
         self.ref_kf: int = -1
         self.last_kf_frame_idx = -1
         self.frame_idx = -1
-        self.trajectory = []                 # (timestamp, pose7 np, state)
+        self.trajectory = []                 # (timestamp, pose7 np-or-device, state)
         self.n_tracked = 0
+        # Lagged fast-path decision state: the per-frame inlier count is read
+        # one frame late so the device->host transfer overlaps the next
+        # frame's work instead of stalling the pipeline (~26 ms RTT through
+        # the TPU tunnel).  (frame, track_pt, n_inl, timestamp, frame_idx)
+        self._pending = None
+        self._force_slow = False
         # Device-resident fast-path state (refreshed on keyframe events).
         cap_l = LOCAL_POINTS_CAP
         self._local_ids = jnp.zeros((cap_l,), jnp.int32)
@@ -324,25 +334,43 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def track(self, img: np.ndarray, timestamp: float) -> np.ndarray:
-        """Process one frame; returns pose7 Tcw (np) or identity if lost."""
+        """Process one frame; returns pose7 Tcw or identity if lost.
+
+        The returned pose may be a device array (fast path) — it converts to
+        numpy on demand; the trajectory is materialized in one batched
+        transfer by :meth:`finalize_trajectory`."""
         self.frame_idx += 1
 
+        have_vel = self._velocity_dev is not None or self.velocity is not None
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self._flush_pending()
             frame = self.builder(img)
             self._monocular_initialization(frame, timestamp)
-        elif (self.state == OK and self.velocity is not None
-              and self._track_pt_dev is not None):
+        elif (self.state == OK and have_vel
+              and self._track_pt_dev is not None and not self._force_slow):
             self._track_frame_fast(jnp.asarray(img, jnp.uint8), timestamp)
         else:
+            self._flush_pending()
+            self._force_slow = False
             frame = self.builder(img)
             self._track_frame(frame, timestamp)
 
-        pose = np.asarray(
+        pose = (
             self.last_frame.pose if self.last_frame is not None
             else lie.se3_identity()
         )
-        self.trajectory.append((timestamp, pose.copy(), self.state))
+        self.trajectory.append((timestamp, pose, self.state))
         return pose
+
+    def finalize_trajectory(self):
+        """Materialize any device-resident trajectory poses in ONE transfer."""
+        if not self.trajectory:
+            return
+        poses = jnp.stack([p for _, p, _ in self.trajectory])
+        poses_np = np.asarray(poses)
+        self.trajectory = [
+            (t, poses_np[i], s) for i, (t, _, s) in enumerate(self.trajectory)
+        ]
 
     # ------------------------------------------------------------------
     # Stereo / RGB-D entries (Tracking::GrabImageStereo/GrabImageRGBD)
@@ -449,11 +477,14 @@ class Tracker:
         self._refresh_local_points()
 
     # ------------------------------------------------------------------
-    # Fused fast path: one device dispatch per frame
+    # Fused fast path: one device dispatch per frame, decisions lagged one
+    # frame so the scalar readback overlaps the next frame's work.
     # ------------------------------------------------------------------
     def _track_frame_fast(self, img_dev, timestamp: float):
-        m, feat, frame_is2, pose, track_pt, n_inl = _fused_track_step(
-            self.m, img_dev, self.last_frame.pose, jnp.asarray(self.velocity),
+        if self._velocity_dev is None:
+            self._velocity_dev = jnp.asarray(self.velocity)
+        m, feat, frame_is2, pose, track_pt, n_inl, vel = _fused_track_step(
+            self.m, img_dev, self.last_frame.pose, self._velocity_dev,
             self._track_pt_dev, self.last_frame.feat.octave,
             self._local_ids, self._local_mask,
             self.intr, self._inv_sigma2_lv,
@@ -461,26 +492,55 @@ class Tracker:
             self.wh, self.cfg.matcher.search_radius_motion,
             self.cfg.camera.has_distortion,
         )
-        n = int(n_inl)   # the single per-frame sync
+        try:
+            n_inl.copy_to_host_async()
+        except Exception:
+            pass
         frame = FrameData(feat=feat, pose=pose, inv_sigma2=frame_is2)
-        if n < self.cfg.tracking.min_matches_track_localmap:
-            # Fall back to the slow path (reference-KF track / reloc).
-            self.last_track_pt = np.asarray(self._track_pt_dev)
-            self._track_frame(frame, timestamp)
-            return
+
+        # Optimistically advance device-resident state; the pending frame's
+        # inlier count is examined next frame (or at flush).
         self.m = m
-        self.state = OK
-        self.n_tracked = n
-        self.velocity = np.asarray(
-            lie.se3_compose(pose, lie.se3_inverse(self.last_frame.pose))
-        )
+        self._velocity_dev = vel
         self._track_pt_dev = track_pt
         self.last_frame = frame
 
+        prev = self._pending
+        self._pending = (frame, track_pt, n_inl, timestamp, self.frame_idx)
+        if prev is not None:
+            self._finalize_pending(prev)
+
+    def _finalize_pending(self, pending):
+        """Apply the lagged per-frame decisions (tracking health + keyframe
+        policy) for a previously dispatched frame."""
+        frame, track_pt, n_inl, timestamp, frame_idx = pending
+        n = int(n_inl)           # transfer started last frame; ~0 wait
+        self.n_tracked = n
+        if n < self.cfg.tracking.min_matches_track_localmap:
+            # Too few inliers: next frame re-tracks via the slow path
+            # (reference-KF match / relocalization).
+            self._force_slow = True
+            self.velocity = None
+            self._velocity_dev = None
+            self.last_track_pt = np.asarray(track_pt)
+            return
+        self.state = OK
         if self._need_new_keyframe(n):
             track_pt_np = np.asarray(track_pt)
             self.last_track_pt = track_pt_np
+            saved_idx = self.frame_idx
+            self.frame_idx = frame_idx      # keyframe carries its own frame id
             self._create_new_keyframe(frame, timestamp, track_pt_np)
+            self.frame_idx = saved_idx
+
+    def _flush_pending(self):
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._finalize_pending(prev)
+        # Slow path needs the numpy velocity mirror.
+        if self._velocity_dev is not None:
+            self.velocity = np.asarray(self._velocity_dev)
+            self._velocity_dev = None
 
     def _refresh_local_points(self):
         """Recompute the device-side local point buffer from the covisibility

@@ -143,12 +143,17 @@ def _linearize(prob: BAProblem, cam_poses, points, intr, chi2_th, robust,
 
 def _robust_cost(prob, cam_poses, points, intr, chi2_th, bf: float = 0.0):
     e, xc = _obs_residual(prob, cam_poses, points, intr, bf)
-    valid = prob.obs_mask & prob.point_valid[prob.obs_point] & (xc[..., 2] > 1e-6)
+    valid = prob.obs_mask & prob.point_valid[prob.obs_point]
+    geom_ok = xc[..., 2] > 1e-6
     chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
     # Huber rho
     rho = jnp.where(
         chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 0.0)) - chi2_th
     )
+    # Behind-camera observations are heavily penalized, NOT dropped: dropping
+    # them lets the LM accept test score a degenerate "everything behind the
+    # cameras" state as zero cost and accept a divergent step.
+    rho = jnp.where(geom_ok, rho, 8.0 * chi2_th)
     return jnp.sum(jnp.where(valid, rho, 0.0))
 
 

@@ -53,6 +53,7 @@ def shard_ba_problem(prob: ba.BAProblem, mesh: Mesh, axis: str = "obs"
         obs_uv=put(prob.obs_uv, shard),
         obs_inv_sigma2=put(prob.obs_inv_sigma2, shard),
         obs_mask=put(prob.obs_mask, shard),
+        obs_ur=None if prob.obs_ur is None else put(prob.obs_ur, shard),
     )
 
 
