@@ -6,6 +6,19 @@ Baseline (BASELINE.md): the reference is "real-time" at 30 fps on CPU with a
 ~33 ms/frame budget; the north-star target is >=5x reference CPU FPS on one
 chip, i.e. >=150 fps for the tracking+carving pipeline.  ``vs_baseline`` is
 measured_fps / 30.
+
+Design notes for reproducible timing on the tunneled TPU:
+- every jitted program lands in the persistent compile cache
+  (``.jax_cache``, committed to the repo), so a fresh driver run pays cache
+  loads, not compiles;
+- the warm-up pass is only as long as needed to touch every program
+  (init, fused fast path, keyframe mapping chain, carving, loop detection);
+- the timed pass runs the async stage pipeline (mapping/BA/loop/carving on
+  the stage worker, tracking = one device dispatch per frame), i.e. the same
+  latency-hiding the reference gets from its pthreads.
+
+Extra metrics (BA ms/keyframe — the BASELINE.md metric — plus stage stats)
+go to BENCH_DETAIL.json; stdout carries only the driver's JSON line.
 """
 
 import json
@@ -20,19 +33,17 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 
 
-def main():
+def make_config():
     from orb_slam_free_space_carving_tpu.config import (
         CameraConfig, CapacityConfig, CarvingConfig, ORBConfig, SystemConfig,
     )
-    from orb_slam_free_space_carving_tpu.models.system import System
-    from orb_slam_free_space_carving_tpu.models import tracking as trk
-    from orb_slam_free_space_carving_tpu.utils.synthetic import SyntheticSequence
 
-    cfg = SystemConfig(
+    return SystemConfig(
         camera=CameraConfig(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                             width=640, height=480),
         orb=ORBConfig(n_features=1000, n_levels=8, n_features_pad=1024),
@@ -40,36 +51,67 @@ def main():
             max_keyframes=128, max_points=32768,
             local_ba_window=16, local_ba_fixed=8,
             local_ba_points=8192, local_ba_obs=16384,
+            gba_obs=65536,
         ),
         carving=CarvingConfig(grid_resolution=128, ray_samples=96),
+        deterministic=False,     # async stage pipeline (P1-P5)
     )
+
+
+def main():
+    from orb_slam_free_space_carving_tpu.models.system import System
+    from orb_slam_free_space_carving_tpu.utils.synthetic import SyntheticSequence
+
+    cfg = make_config()
     n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    n_warm = min(int(os.environ.get("BENCH_WARMUP", "48")), n_frames)
     seq = SyntheticSequence(cfg.camera, n_frames=n_frames)
     # Pre-render so host rendering cost doesn't pollute the pipeline timing.
     frames = [seq.frame(i) for i in range(n_frames)]
 
-    # Pass 1: compile warm-up over the FULL sequence.  Keyframe events,
-    # mapping, carving and loop kernels compile lazily at their first
-    # occurrence (which can be deep into the run); through the TPU tunnel a
-    # single compile costs seconds-to-minutes, so a head-only warmup would
-    # leave compiles inside the timed window.  The persistent compile cache
-    # (.jax_cache) + in-process executable cache make pass 2 pure compute.
+    # Pass 1: compile warm-up over a prefix long enough to touch every jitted
+    # program (two-view init + initial BA, fused fast path, slow path,
+    # keyframe mapping chain, carving mesh at the KF-5 cadence, BoW loop
+    # detection from KF 10).  With the persistent cache these are loads, not
+    # compiles, on any later run.
+    t_warm0 = time.perf_counter()
     sysm = System(cfg)
-    for ts, img in frames:
+    for ts, img in frames[:n_warm]:
         sysm.track_monocular(img, ts)
     sysm.shutdown()
+    warm_s = time.perf_counter() - t_warm0
 
     # Pass 2: fresh engine state, fully compiled code — the timed run.
     sysm = System(cfg)
-    warm = min(12, n_frames // 4)
-    for ts, img in frames[:warm]:
+    settle = min(12, n_frames // 4)
+    for ts, img in frames[:settle]:
         sysm.track_monocular(img, ts)
     t0 = time.perf_counter()
-    for ts, img in frames[warm:]:
+    for ts, img in frames[settle:]:
         sysm.track_monocular(img, ts)
-    sysm.shutdown()
+    sysm.runner.flush()
     dt = time.perf_counter() - t0
-    fps = (n_frames - warm) / dt
+    sysm.shutdown()
+    fps = (n_frames - settle) / dt
+
+    ba_ms = sysm.local_mapper.ba_times_ms
+    detail = {
+        "fps": round(fps, 2),
+        "frames_timed": n_frames - settle,
+        "warmup_s": round(warm_s, 1),
+        "ba_ms_per_keyframe": round(float(np.median(ba_ms)), 1) if ba_ms else None,
+        "n_keyframes": int(sysm.map_host.kf_valid.sum()),
+        "n_points": int(sysm.map_host.pt_valid.sum()),
+        "n_mesh_updates": sysm.carver.n_meshes if sysm.carver else 0,
+        "n_loops": sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0,
+        "platform": jax.devices()[0].platform,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
 
     baseline_fps = 30.0
     print(json.dumps({

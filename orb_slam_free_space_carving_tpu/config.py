@@ -233,6 +233,9 @@ class CapacityConfig:
     local_ba_obs: int = 16384
     reloc_candidates: int = 8
     loop_candidates: int = 8
+    gba_obs: int = 65536               # full-map BA observation rows (CG-Schur)
+    loop_points: int = 2048            # loop-neighborhood point set (SearchByProjection Scw)
+    sim3_pairs: int = 512              # Sim3 correspondence capacity (SearchBySim3/OptimizeSim3)
 
 
 @dataclass(frozen=True)
@@ -249,7 +252,8 @@ class SystemConfig:
     carving: CarvingConfig = field(default_factory=CarvingConfig)
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
     sensor: str = "monocular"          # monocular | stereo | rgbd
-    deterministic: bool = False        # run pipeline stages inline (for tests)
+    deterministic: bool = True         # inline stages (bit-reproducible); False
+                                       # = async stage worker (P1-P5 pipeline)
     use_viewer: bool = False
     seed: int = 0
 

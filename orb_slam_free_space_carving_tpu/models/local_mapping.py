@@ -186,6 +186,7 @@ class LocalMapper:
         self.recent_points: List[tuple] = []   # (pid, created_at_kf)
         self.kf_counter = 0
         self.ba_times_ms: List[float] = []
+        self.runner = None                     # set by System (async pipeline)
 
     @property
     def m(self) -> ms.MapArrays:
@@ -196,7 +197,9 @@ class LocalMapper:
         self._map_ref[0] = v
 
     def is_idle(self) -> bool:
-        return True  # inline mode: always caught up
+        """LocalMapping::AcceptKeyFrames analog: has the stage queue drained?
+        Feeds the keyframe policy's c1b condition (Tracking.cc:1029)."""
+        return self.runner is None or self.runner.is_idle()
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
@@ -225,7 +228,10 @@ class LocalMapper:
             return
         keep = []
         to_kill = []
-        vis, fnd = jax.device_get((m.pt_visible, m.pt_found))  # one sync
+        vis, fnd = jax.device_get((
+            m.pt_visible + self.host.ctr_visible,
+            m.pt_found + self.host.ctr_found,
+        ))  # one sync; base (creation/replace) + tracker deltas
         # Observation counts for ALL points in one pass (vs per-point scans).
         sub = self.host.obs_pt[: self.host.n_kf_slots]
         flat = sub[sub >= 0]
@@ -598,7 +604,10 @@ class LocalMapper:
                 self._delete_points(orphans.astype(np.int32))
         else:
             self.m = m
-        self.m = ms.update_point_stats(self.m)
+        self.m = ms.update_point_stats(
+            self.m, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels, refresh_desc=True,
+        )
 
         # CARV adjustment event (moved cams + moved points).
         self.host.journal.append(ms.JournalEvent(

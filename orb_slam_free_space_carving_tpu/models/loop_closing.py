@@ -26,7 +26,8 @@ import numpy as np
 
 from orb_slam_free_space_carving_tpu.config import SystemConfig
 from orb_slam_free_space_carving_tpu.models import map_state as ms
-from orb_slam_free_space_carving_tpu.ops import bow, horn, matching, pnp
+from orb_slam_free_space_carving_tpu.models.global_ba import GlobalBA
+from orb_slam_free_space_carving_tpu.ops import bow, horn, matching, pnp, sim3opt
 from orb_slam_free_space_carving_tpu.utils import camera, lie
 
 
@@ -46,6 +47,10 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[set, int]] = []
         self.last_loop_kf = -10**9
         self.n_loops_closed = 0
+        self.global_ba = GlobalBA(cfg)
+        self._wh = jnp.asarray(
+            [cfg.camera.width, cfg.camera.height], jnp.float32
+        )
 
     @property
     def m(self) -> ms.MapArrays:
@@ -132,6 +137,36 @@ class LoopCloser:
             self.consistent_groups = []
             return
 
+        # Covisibility-accumulated group scoring (KeyFrameDatabase.cc:150-190):
+        # each candidate's score is the sum over its 10 best covisible KFs
+        # that also scored; keep those >= min_score_ratio * best.
+        acc = np.zeros(cand.size)
+        lead = np.zeros(cand.size, np.int64)
+        for i, c in enumerate(cand):
+            grp = [int(c)] + [
+                int(g) for g in host.covisible_keyframes(int(c), 10, min_weight=15)
+            ]
+            grp_scores = [
+                scores[g] for g in grp if ok[g] or g == int(c)
+            ]
+            acc[i] = sum(grp_scores)
+            lead[i] = grp[int(np.argmax([scores[g] for g in grp]))]
+        keep = acc >= self.cfg.loop.min_score_ratio * acc.max()
+        # The retained candidate of each group is its best-scoring member
+        # (never a covisible neighbor of the query — those were masked out).
+        # The accumulated-score filter biases toward large covisible chains
+        # when raw scores are flat, so the top raw-score candidates are always
+        # retained as well — geometry (Sim3 RANSAC + the >=40 gate) is the
+        # real verifier, exactly as in the reference where ComputeSim3 vets
+        # every enough-consistent candidate.
+        top_raw = cand[np.argsort(-scores[cand])][:3]
+        cand = np.unique(np.concatenate([lead[keep], top_raw]))
+        cand = cand[cand_mask[cand]]
+        if cand.size == 0:
+            self.consistent_groups = []
+            return
+        cand = cand[np.argsort(-scores[cand])]
+
         # Covisibility-consistency over consecutive KFs (:152-225).
         enough = []
         new_groups: List[Tuple[set, int]] = []
@@ -149,7 +184,9 @@ class LoopCloser:
         if not enough:
             return
 
-        for cand_kf in enough[:1]:
+        # Try every consistent candidate (the reference's ComputeSim3 loops
+        # over mvpEnoughConsistentCandidates, LoopClosing.cc:263-343).
+        for cand_kf in enough[: self.cfg.capacity.loop_candidates]:
             if self._compute_sim3_and_correct(kf, cand_kf):
                 self.last_loop_kf = self.host.kf_frame_id[kf]
                 self.consistent_groups = []
@@ -157,10 +194,15 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
-        """ComputeSim3 (:231-400) + CorrectLoop (:402-584)."""
+        """ComputeSim3 (:231-400): descriptor match -> Horn Sim3 RANSAC ->
+        SearchBySim3 guided matching (``ORBmatcher.cc:1102-1326``) ->
+        OptimizeSim3 joint refinement (``Optimizer.cc:1059-1254``, accept >=20
+        inliers ``LoopClosing.cc:330-339``) -> loop-neighborhood
+        SearchByProjection(Scw) with the >=40-total gate (``:352-398``) ->
+        CorrectLoop."""
         m = self.m
         host = self.host
-        # Match points bound to features in both keyframes via descriptors.
+        cfg = self.cfg
         obs1 = host.obs_pt[kf]
         obs2 = host.obs_pt[cand]
         f1 = np.where(obs1 >= 0)[0]
@@ -171,52 +213,215 @@ class LoopCloser:
         d2 = m.kf_desc[cand][jnp.asarray(f2)]
         dist = matching.hamming_matrix(d1, d2)
         idx, best = matching.masked_match(
-            dist, jnp.ones(dist.shape, bool), max_dist=50.0, ratio=0.75
+            dist, jnp.ones(dist.shape, bool), max_dist=50.0,
+            ratio=cfg.matcher.nn_ratio_bow,
         )
         idx_np = np.asarray(idx)
         rows = np.where(idx_np >= 0)[0]
-        if rows.size < self.cfg.loop.min_bow_matches:
+        if rows.size < cfg.loop.min_bow_matches:
             return False
-        p1_ids = obs1[f1[rows]]
-        p2_ids = obs2[f2[idx_np[rows]]]
+        # Initial correspondence set: (feature-of-kf, feature-of-cand).
+        pairs = {int(f1[r]): int(f2[idx_np[r]]) for r in rows}
 
-        # 3D points in each camera frame.
         xyz = np.asarray(m.pt_xyz)
-        x1w = xyz[p1_ids]
-        x2w = xyz[p2_ids]
-        pose1 = m.kf_pose[kf]
-        pose2 = m.kf_pose[cand]
-        x1c = np.asarray(lie.se3_apply(pose1, jnp.asarray(x1w)))
-        x2c = np.asarray(lie.se3_apply(pose2, jnp.asarray(x2w)))
+        pose1_np, pose2_np = jax.device_get((m.kf_pose[kf], m.kf_pose[cand]))
+        pose1 = jnp.asarray(pose1_np)
+        pose2 = jnp.asarray(pose2_np)
 
-        # Pad to static capacity.
-        CAP = 512
-        n = min(rows.size, CAP)
+        def cam_coords(feat_ids, obs_row, pose):
+            pids = obs_row[feat_ids]
+            xw = xyz[pids]
+            return np.asarray(lie.se3_apply(pose, jnp.asarray(xw))), pids
+
+        # Horn RANSAC on the initial pairs.
+        CAP = cfg.capacity.sim3_pairs
+        pf1 = np.fromiter(pairs.keys(), np.int64)[:CAP]
+        pf2 = np.fromiter(pairs.values(), np.int64)[:CAP]
+        x1c_init, _ = cam_coords(pf1, obs1, pose1)
+        x2c_init, _ = cam_coords(pf2, obs2, pose2)
+        n = pf1.size
         x1p = np.zeros((CAP, 3), np.float32)
         x2p = np.zeros((CAP, 3), np.float32)
         mk = np.zeros(CAP, bool)
-        x1p[:n] = x1c[:n]
-        x2p[:n] = x2c[:n]
+        x1p[:n] = x1c_init
+        x2p[:n] = x2c_init
         mk[:n] = True
         res = horn.solve_sim3_ransac(
             jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(mk), self.intr,
-            self._next_key(), min_inliers=self.cfg.loop.min_sim3_inliers,
+            self._next_key(), min_inliers=cfg.loop.min_sim3_inliers,
         )
         if not bool(res.ok):
             return False
+        s12 = res.sim_12
 
-        self._correct_loop(kf, cand, res.sim_12)
+        # --- SearchBySim3 guided matching grows the correspondence set.
+        pairs = self._guided_sim3_pairs(kf, cand, s12, pairs)
+
+        # --- OptimizeSim3 joint refinement + inlier gate.
+        pf1 = np.fromiter(pairs.keys(), np.int64)[:CAP]
+        pf2 = np.array([pairs[int(k)] for k in pf1], np.int64)
+        n = pf1.size
+        x1c_all, _ = cam_coords(pf1, obs1, pose1)
+        x2c_all, _ = cam_coords(pf2, obs2, pose2)
+        kf_uv1, kf_uv2, kf_oct1, kf_oct2 = jax.device_get(
+            (m.kf_uv[kf], m.kf_uv[cand], m.kf_octave[kf], m.kf_octave[cand])
+        )
+        is2_lv = 1.0 / np.array(cfg.orb.level_sigma2, np.float32)
+        x1p = np.zeros((CAP, 3), np.float32)
+        x2p = np.zeros((CAP, 3), np.float32)
+        uv1 = np.zeros((CAP, 2), np.float32)
+        uv2 = np.zeros((CAP, 2), np.float32)
+        is21 = np.ones(CAP, np.float32)
+        is22 = np.ones(CAP, np.float32)
+        mk = np.zeros(CAP, bool)
+        x1p[:n] = x1c_all
+        x2p[:n] = x2c_all
+        uv1[:n] = kf_uv1[pf1]
+        uv2[:n] = kf_uv2[pf2]
+        is21[:n] = is2_lv[kf_oct1[pf1].clip(0, len(is2_lv) - 1)]
+        is22[:n] = is2_lv[kf_oct2[pf2].clip(0, len(is2_lv) - 1)]
+        mk[:n] = True
+        opt = sim3opt.optimize_sim3(
+            s12, jnp.asarray(x1p), jnp.asarray(x2p),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(is21), jnp.asarray(is22), jnp.asarray(mk), self.intr,
+            fix_scale=cfg.sensor != "monocular",
+        )
+        n_inl = int(opt.n_inliers)
+        if n_inl < cfg.loop.min_sim3_inliers:
+            return False
+        s12 = opt.sim_12
+        inl_np = np.asarray(opt.inliers)[:n]
+
+        # --- Loop-neighborhood points + SearchByProjection(Scw) >=40 gate.
+        loop_pids = self._loop_neighborhood_points(cand)
+        scw = lie.sim3_compose(s12, lie.sim3_from_se3(pose2))
+        feat_to_loop = np.full(obs1.shape[0], -1, np.int64)
+        feat_to_loop[pf1[inl_np]] = obs2[pf2[inl_np]]
+        proj_idx, n_proj = self._project_loop_points(
+            kf, scw, loop_pids, feat_to_loop
+        )
+        total = n_inl + int(n_proj)
+        if total < cfg.loop.min_total_matches:
+            return False
+
+        rows_p = np.where(proj_idx >= 0)[0]
+        feat_to_loop[proj_idx[rows_p]] = loop_pids[rows_p]
+        self._correct_loop(kf, cand, s12, feat_to_loop=feat_to_loop,
+                           loop_pids=loop_pids)
         return True
 
+    def _guided_sim3_pairs(self, kf: int, cand: int, s12, pairs: dict) -> dict:
+        """SearchBySim3 both directions + host mutual check; merges newly
+        agreed pairs into ``pairs`` (``ORBmatcher.cc:1102-1326``)."""
+        m = self.m
+        host = self.host
+        cfg = self.cfg
+        obs1 = host.obs_pt[kf]
+        obs2 = host.obs_pt[cand]
+        f1 = np.where(obs1 >= 0)[0]
+        f2 = np.where(obs2 >= 0)[0]
+        CAP = cfg.capacity.sim3_pairs
+
+        def pack(feat_ids, obs_row, pose):
+            pids = obs_row[feat_ids][:CAP]
+            k = pids.size
+            ids_pad = np.zeros(CAP, np.int64)
+            ids_pad[:k] = pids
+            mk = np.zeros(CAP, bool)
+            mk[:k] = True
+            ids_j = jnp.asarray(ids_pad)
+            xc = lie.se3_apply(pose, m.pt_xyz[ids_j])
+            return (xc, m.pt_desc[ids_j], jnp.asarray(mk) & m.pt_valid[ids_j],
+                    m.pt_max_dist[ids_j], feat_ids[:CAP], k)
+
+        x1c, desc1, v1, md1, feats1, k1 = pack(f1, obs1, m.kf_pose[kf])
+        x2c, desc2, v2, md2, feats2, k2 = pack(f2, obs2, m.kf_pose[cand])
+
+        idx21, idx12 = sim3opt.search_by_sim3(
+            s12, x1c, desc1, v1, md1, x2c, desc2, v2, md2,
+            m.kf_uv[kf], m.kf_desc[kf], m.kf_octave[kf], m.kf_feat_valid[kf],
+            m.kf_uv[cand], m.kf_desc[cand], m.kf_octave[cand],
+            m.kf_feat_valid[cand],
+            self.intr, self._wh, cfg.orb.scale_factor, cfg.orb.n_levels,
+        )
+        idx21_np, idx12_np = jax.device_get((idx21, idx12))
+        # Mutual: kf1 point (at feature g1) -> kf2 feature g2 holding a point
+        # whose own guided match lands back on g1.
+        row_of_feat2 = {int(feats2[j]): j for j in range(k2)}
+        for i in range(k1):
+            g2 = int(idx12_np[i])
+            if g2 < 0:
+                continue
+            j = row_of_feat2.get(g2)
+            if j is not None and int(idx21_np[j]) == int(feats1[i]):
+                pairs.setdefault(int(feats1[i]), g2)
+        return pairs
+
+    def _loop_neighborhood_points(self, cand: int) -> np.ndarray:
+        """Map points of the loop keyframe's covisibility group
+        (``LoopClosing.cc:352-367``), covisibility-prioritized up to the
+        ``loop_points`` capacity (drops are counted, not silent)."""
+        host = self.host
+        group = [cand] + [
+            int(k) for k in host.covisible_keyframes(cand, 20, min_weight=1)
+        ]
+        seen: dict = {}
+        for k in group:                       # group order = covis priority
+            row = host.obs_pt[k]
+            for pid in row[row >= 0]:
+                seen.setdefault(int(pid), None)
+        pids = np.fromiter(seen.keys(), np.int64)
+        pids = pids[host.pt_valid[pids]]
+        cap = self.cfg.capacity.loop_points
+        if pids.size > cap:
+            self._dropped_loop_points = pids.size - cap
+            pids = pids[:cap]
+        return pids
+
+    def _project_loop_points(self, kf: int, scw, loop_pids: np.ndarray,
+                             feat_to_loop: np.ndarray):
+        """SearchByProjection with Sim3 Scw (``ORBmatcher.cc:290-403``):
+        returns (idx[P] -> kf feature, n_new_matches)."""
+        m = self.m
+        cfg = self.cfg
+        cap = cfg.capacity.loop_points
+        ids_pad = np.zeros(cap, np.int64)
+        mk = np.zeros(cap, bool)
+        k = min(loop_pids.size, cap)
+        ids_pad[:k] = loop_pids[:k]
+        mk[:k] = True
+        ids_j = jnp.asarray(ids_pad)
+        # Features already matched by the Sim3 inlier set are not free.
+        already = jnp.asarray(feat_to_loop < 0)
+        idx, n = sim3opt.search_by_projection_scw(
+            scw, m.pt_xyz[ids_j], m.pt_desc[ids_j],
+            m.pt_valid[ids_j] & jnp.asarray(mk),
+            m.pt_max_dist[ids_j], m.pt_normal[ids_j],
+            m.kf_uv[kf], m.kf_desc[kf], m.kf_octave[kf],
+            m.kf_feat_valid[kf], already,
+            self.intr, self._wh, cfg.orb.scale_factor, cfg.orb.n_levels,
+        )
+        return np.asarray(idx), int(n)
+
     # ------------------------------------------------------------------
-    def _correct_loop(self, kf: int, cand: int, sim_12):
-        """CorrectLoop (:402-584): propagate the Sim3 correction through the
-        covisible group, then optimize the essential graph over all keyframes
-        and re-scale point positions."""
+    def _correct_loop(self, kf: int, cand: int, sim_12,
+                      feat_to_loop: Optional[np.ndarray] = None,
+                      loop_pids: Optional[np.ndarray] = None):
+        """CorrectLoop (:402-584): fuse matched duplicates, propagate the Sim3
+        correction, optimize the essential graph over all keyframes, re-scale
+        point positions, SearchAndFuse over the corrected neighborhood
+        (:586-612), then run global BA (:644-761)."""
         from orb_slam_free_space_carving_tpu.ops import posegraph
 
         m = self.m
         host = self.host
+
+        # --- Loop fusion on the current keyframe (:509-521): features matched
+        # to loop points either replace their bound point or gain the obs.
+        if feat_to_loop is not None:
+            self._fuse_matches(kf, feat_to_loop)
+            m = self.m
 
         # Corrected pose of kf: T_kf_w_corrected = Sim(cand->kf measured) o T_cand_w.
         # sim_12 maps cand-camera coords into kf-camera coords (x1 = S12 x2).
@@ -303,7 +508,10 @@ class LoopCloser:
         new_poses = lie.sim3_to_se3(new_sims)
         new_poses = jnp.where(jnp.asarray(valid)[:, None], new_poses, m.kf_pose)
         self.m = m._replace(kf_pose=new_poses, pt_xyz=new_xyz)
-        self.m = ms.update_point_stats(self.m)
+        self.m = ms.update_point_stats(
+            self.m, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
 
         host.loop_edges.setdefault(kf, set()).add(cand)
         host.big_change_idx += 1
@@ -318,6 +526,162 @@ class LoopCloser:
             moved_ids=pids, moved_xyz=np.asarray(new_xyz)[pids],
             moved_kfs=kfs, moved_centers=centers[kfs],
         ))
+
+        # --- SearchAndFuse over the corrected neighborhood (:586-612).
+        if loop_pids is not None and loop_pids.size:
+            self._search_and_fuse(kf, loop_pids)
+        host.update_covisibility(kf)
+
+        # --- Global BA with spanning-tree/generation semantics (:644-761).
+        self.global_ba.bump()
+        self.m = self.global_ba.run(self.m, host, self.intr)
+
+    # ------------------------------------------------------------------
+    def _fuse_matches(self, kf: int, feat_to_loop: np.ndarray):
+        """Apply feature->loop-point matches on one keyframe: replace the
+        bound point (MapPoint::Replace, ``src/MapPoint.cc:186-224``) or add
+        the observation (``LoopClosing.cc:509-521``)."""
+        host = self.host
+        obs_row = host.obs_pt[kf]
+        feats = np.where(feat_to_loop >= 0)[0]
+        replace_map = {}
+        for f in feats:
+            pid_new = int(feat_to_loop[f])
+            if not host.pt_valid[pid_new]:
+                continue
+            pid_cur = int(obs_row[f])
+            if pid_cur == pid_new:
+                continue
+            if pid_cur >= 0:
+                replace_map[pid_cur] = pid_new
+            else:
+                host.obs_pt[kf, f] = pid_new
+                self.m = self.m._replace(
+                    obs_pt=self.m.obs_pt.at[kf, f].set(pid_new)
+                )
+        if replace_map:
+            self._replace_points(replace_map)
+
+    def _replace_points(self, replace_map: dict):
+        """Batched MapPoint::Replace: every observation of each old point is
+        re-bound to its replacement (skipping keyframes that already observe
+        the replacement), counters merge, the old point dies."""
+        host = self.host
+        M = self.cfg.capacity.max_points
+        lut = np.arange(M, dtype=np.int32)
+        for old, new in replace_map.items():
+            # Follow chains (a->b, b->c).
+            while int(lut[new]) != new:
+                new = int(lut[new])
+            lut[old] = new
+
+        obs = host.obs_pt[: host.n_kf_slots]
+        bound = obs >= 0
+        mapped = np.where(bound, lut[obs.clip(min=0)], -1)
+        # Deduplicate: a KF observing both old and new keeps only the first
+        # feature bound to the merged id (reference erases the old obs).
+        for k in range(host.n_kf_slots):
+            row = mapped[k]
+            pos = np.where(row >= 0)[0]
+            if pos.size == 0:
+                continue
+            _, first = np.unique(row[pos], return_index=True)
+            dup = np.ones(pos.size, bool)
+            dup[first] = False
+            row[pos[dup]] = -1
+        host.obs_pt[: host.n_kf_slots] = mapped
+
+        olds = np.fromiter(replace_map.keys(), np.int64)
+        # Merge visible/found counters + invalidate old points on device.
+        m = self.m
+        olds_j = jnp.asarray(olds)
+        news_j = jnp.asarray(lut[olds])
+        m = m._replace(
+            pt_visible=m.pt_visible.at[news_j].add(m.pt_visible[olds_j]),
+            pt_found=m.pt_found.at[news_j].add(m.pt_found[olds_j]),
+        )
+        # Merge the tracker-side counter deltas the same way.
+        host.ctr_visible = host.ctr_visible.at[news_j].add(
+            host.ctr_visible[olds_j]
+        )
+        host.ctr_found = host.ctr_found.at[news_j].add(host.ctr_found[olds_j])
+        m = ms.invalidate_points(m, olds_j, jnp.ones(olds.size, bool))
+        m = m._replace(obs_pt=jnp.asarray(host.obs_pt))
+        self.m = m
+        for old in olds:
+            host.free_point(int(old))
+            host.journal.append(
+                ms.JournalEvent(kind="del_point", point_id=int(old))
+            )
+
+    def _search_and_fuse(self, kf: int, loop_pids: np.ndarray):
+        """SearchAndFuse (:586-612): project loop points into the corrected
+        covisible group; matches replace bound points or add observations."""
+        from orb_slam_free_space_carving_tpu.models.local_mapping import (
+            _fuse_project_batch,
+        )
+
+        m = self.m
+        host = self.host
+        cfg = self.cfg
+        neighbors = [kf] + [
+            int(k) for k in host.covisible_keyframes(kf, 10, min_weight=1)
+        ]
+        NB = 8
+        neighbors = neighbors[:NB]
+        nbp = np.zeros(NB, np.int32)
+        nb_mask = np.zeros(NB, bool)
+        nbp[: len(neighbors)] = neighbors
+        nb_mask[: len(neighbors)] = True
+        nb_j = jnp.asarray(nbp)
+
+        cap = cfg.capacity.loop_points
+        ids_pad = np.zeros(cap, np.int64)
+        mk = np.zeros(cap, bool)
+        k = min(loop_pids.size, cap)
+        ids_pad[:k] = loop_pids[:k]
+        mk[:k] = True
+        ids_j = jnp.asarray(ids_pad)
+
+        # Match against ALL features (bound ones fuse-replace; the reference's
+        # Fuse(pKF, vpPoints, 4) also considers bound features).
+        all_feats = jnp.asarray(nb_mask)[:, None] & m.kf_feat_valid[nb_j]
+        idx_b = _fuse_project_batch(
+            m.kf_pose[nb_j],
+            m.pt_xyz[ids_j], m.pt_desc[ids_j],
+            m.pt_valid[ids_j] & jnp.asarray(mk),
+            m.pt_max_dist[ids_j], m.pt_normal[ids_j],
+            m.kf_uv[nb_j], m.kf_octave[nb_j], m.kf_desc[nb_j],
+            m.kf_feat_valid[nb_j], all_feats, self.intr,
+            cfg.orb.scale_factor, cfg.orb.n_levels,
+            (cfg.camera.width, cfg.camera.height),
+        )
+        idx_np = np.asarray(idx_b)            # [NB,cap] -> feature idx
+        replace_map = {}
+        for b in range(len(neighbors)):
+            nb = int(nbp[b])
+            rows = np.where(idx_np[b] >= 0)[0]
+            for r in rows:
+                pid_new = int(ids_pad[r])
+                f = int(idx_np[b][r])
+                pid_cur = int(host.obs_pt[nb, f])
+                if pid_cur == pid_new:
+                    continue
+                if pid_cur >= 0:
+                    if host.pt_valid[pid_cur] and pid_cur != pid_new:
+                        replace_map[pid_cur] = pid_new
+                else:
+                    host.obs_pt[nb, f] = pid_new
+                    self.m = self.m._replace(
+                        obs_pt=self.m.obs_pt.at[nb, f].set(pid_new)
+                    )
+        # Never merge a loop point into itself via chains.
+        replace_map = {
+            o: n for o, n in replace_map.items()
+            if o != n and o not in set(replace_map.values())
+        }
+        if replace_map:
+            self._replace_points(replace_map)
 
     # ------------------------------------------------------------------
     # Relocalization (Tracking.cc:1350-1511)

@@ -22,6 +22,7 @@ updates are jitted scatters.  This replaces the reference's mutex discipline
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, NamedTuple, Optional, Set
 
@@ -132,6 +133,13 @@ class MapHost:
         self.pt_free = list(range(M - 1, -1, -1))
         self.covis = np.zeros((K, K), np.int32)
         self.parent = np.full(K, -1, np.int32)
+        # Tracker-owned visible/found counter DELTAS (device arrays).  The
+        # base counters live in MapArrays (written by the mapping stage at
+        # point creation / replace); the per-frame IncreaseVisible/Found
+        # updates land here so the tracking thread never writes the shared
+        # map cell (enables the async P1/P2 split of SURVEY section 2.4).
+        self.ctr_visible = jnp.zeros(M, jnp.int32)
+        self.ctr_found = jnp.zeros(M, jnp.int32)
 
     # ---------------- slot allocation ----------------
 
@@ -264,12 +272,26 @@ def invalidate_points(m: MapArrays, ids, mask) -> MapArrays:
     return m._replace(pt_valid=m.pt_valid.at[safe].set(False, mode="drop"))
 
 
-@jax.jit
-def update_point_stats(m: MapArrays) -> MapArrays:
-    """Recompute viewing normals + scale-invariance distance bounds for all
-    points from the observation table (MapPoint::UpdateNormalAndDepth,
-    reference ``src/MapPoint.cc:339-392``) — one batched pass over all
-    (keyframe, feature) slots instead of per-point loops."""
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels", "refresh_desc")
+)
+def update_point_stats(m: MapArrays, scale_factor: float = 0.0,
+                       n_levels: int = 8,
+                       refresh_desc: bool = False) -> MapArrays:
+    """Recompute viewing normals, scale-invariance distance bounds and (when
+    ``refresh_desc``) the distinctive medoid descriptor for all points from
+    the observation table — one batched pass over all (keyframe, feature)
+    slots instead of per-point loops.
+
+    - normals + distance bounds: ``MapPoint::UpdateNormalAndDepth``
+      (reference ``src/MapPoint.cc:339-392``).  The bounds use the point's
+      reference-keyframe observation octave, like the reference; when
+      ``scale_factor`` is 0 the bounds are left untouched (legacy behavior).
+    - medoid descriptor: ``MapPoint::ComputeDistinctiveDescriptors``
+      (``src/MapPoint.cc:251-316``) — the observation descriptor minimizing
+      the median Hamming distance to the others, over up to ``_MEDOID_CAP``
+      observations per point.
+    """
     K, N = m.obs_pt.shape
     M = m.pt_xyz.shape[0]
     obs = m.obs_pt.reshape(-1)
@@ -290,6 +312,86 @@ def update_point_stats(m: MapArrays) -> MapArrays:
         obs_valid.astype(jnp.float32), seg, num_segments=M + 1
     )[:M]
     normal = normal_sum / jnp.maximum(cnt[:, None], 1.0)
-    return m._replace(
+    m = m._replace(
         pt_normal=jnp.where(cnt[:, None] > 0, normal, m.pt_normal)
     )
+
+    if scale_factor > 0.0:
+        # Scale-invariance bounds from the reference keyframe's observation
+        # (MapPoint.cc:372-391): maxDist = dist(ref) * sf^octave(ref obs).
+        kf_of_obs = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+        is_ref = obs_valid & (kf_of_obs == m.pt_ref_kf[jnp.clip(obs, 0, M - 1)])
+        seg_ref = jnp.where(is_ref, obs, M)
+        oct_flat = m.kf_octave.reshape(-1)
+        ref_oct = jax.ops.segment_max(
+            jnp.where(is_ref, oct_flat, -1), seg_ref, num_segments=M + 1
+        )[:M]
+        has_ref = ref_oct >= 0
+        ref_dist = jnp.linalg.norm(
+            m.pt_xyz - centers[jnp.clip(m.pt_ref_kf, 0, K - 1)], axis=-1
+        )
+        sf = jnp.float32(scale_factor)
+        max_dist = ref_dist * sf ** jnp.maximum(ref_oct, 0).astype(jnp.float32)
+        min_dist = max_dist / sf ** (n_levels - 1)
+        m = m._replace(
+            pt_max_dist=jnp.where(has_ref, max_dist, m.pt_max_dist),
+            pt_min_dist=jnp.where(has_ref, min_dist, m.pt_min_dist),
+        )
+
+    if refresh_desc:
+        m = m._replace(pt_desc=_medoid_descriptors(m))
+    return m
+
+
+_MEDOID_CAP = 8   # observations considered per point for the medoid
+
+
+def _medoid_descriptors(m: MapArrays) -> jnp.ndarray:
+    """Distinctive descriptor = min-median-Hamming medoid over up to
+    ``_MEDOID_CAP`` observations per point (MapPoint.cc:251-316), fully
+    batched: sort observations by point id, take each point's first D
+    descriptors, one [M,D,D] Hamming block, masked median, argmin."""
+    K, N = m.obs_pt.shape
+    M = m.pt_xyz.shape[0]
+    D = _MEDOID_CAP
+    obs = m.obs_pt.reshape(-1)
+    obs_valid = (obs >= 0) & m.kf_feat_valid.reshape(-1)
+    seg = jnp.where(obs_valid, obs, M).astype(jnp.int32)
+    order = jnp.argsort(seg)                       # stable: groups by point
+    seg_sorted = seg[order]
+    # First index of each point's group + count.
+    starts = jnp.searchsorted(seg_sorted, jnp.arange(M + 1, dtype=jnp.int32))
+    start_m = starts[:M]
+    count_m = jnp.searchsorted(
+        seg_sorted, jnp.arange(1, M + 1, dtype=jnp.int32)
+    ) - start_m
+
+    take = start_m[:, None] + jnp.arange(D)[None, :]          # [M,D]
+    lane_ok = jnp.arange(D)[None, :] < jnp.minimum(count_m, D)[:, None]
+    take = jnp.clip(take, 0, K * N - 1)
+    flat_desc = m.kf_desc.reshape(K * N, 32)
+    descs = flat_desc[order[take]]                            # [M,D,32]
+
+    # Pairwise Hamming distances per point: unpack to bits (bfloat16 matmul).
+    bits = jnp.unpackbits(descs, axis=-1).astype(jnp.bfloat16)  # [M,D,256]
+    pop = jnp.sum(bits, axis=-1, dtype=jnp.float32)             # [M,D]
+    cross = jnp.einsum(
+        "mdi,mei->mde", bits, bits, preferred_element_type=jnp.float32
+    )
+    dist = pop[:, :, None] + pop[:, None, :] - 2.0 * cross      # [M,D,D]
+    pair_ok = lane_ok[:, :, None] & lane_ok[:, None, :]
+    BIG = jnp.float32(1e9)
+    dist = jnp.where(pair_ok, dist, BIG)
+
+    # Median distance of each candidate row to the other valid observations
+    # (the reference's vMedian over sorted row distances).
+    dist_sorted = jnp.sort(dist, axis=-1)                       # [M,D,D]
+    k_med = jnp.maximum((jnp.minimum(count_m, D) - 1) // 2, 0)  # [M]
+    med = jnp.take_along_axis(
+        dist_sorted, k_med[:, None, None].repeat(D, 1), axis=-1
+    )[..., 0]                                                   # [M,D]
+    med = jnp.where(lane_ok, med, BIG)
+    best = jnp.argmin(med, axis=-1)                             # [M]
+    chosen = jnp.take_along_axis(descs, best[:, None, None], axis=1)[:, 0]
+    has_obs = count_m > 0
+    return jnp.where(has_obs[:, None], chosen, m.pt_desc)

@@ -39,6 +39,14 @@ class System:
         self.cfg = cfg
         self.map_host = ms.MapHost(cfg)
         self._map_ref = [ms.empty_map_arrays(cfg)]
+        # Stage runtime: inline (deterministic) or one worker thread owning
+        # all map writes (the P1-P5 pipeline, runtime/pipeline.py).  The
+        # async path is monocular-only; stereo/RGB-D runs deterministic.
+        from orb_slam_free_space_carving_tpu.runtime.pipeline import StageRunner
+
+        self.runner = StageRunner(
+            deterministic=cfg.deterministic or sensor != MONOCULAR
+        )
 
         self.carver = None
         if enable_carving:
@@ -59,7 +67,9 @@ class System:
             cfg, self._map_ref, self.map_host,
             local_mapper=self.local_mapper,
             relocalizer=self.loop_closer,
+            runner=self.runner,
         )
+        self.local_mapper.runner = self.runner
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
         self.localization_only = False
@@ -83,18 +93,29 @@ class System:
         """Per-frame carving hooks (Modeler::AddFrameImage/AddTexture +
         Run-loop poll): keep the new keyframe's image for texturing and
         advance the carving stage.  Keyframe decisions lag one frame in the
-        async fast path, so the previous image is retained."""
+        async fast path, so the previous image is retained.  In async mode
+        the carver runs on the stage worker, AFTER the keyframe's mapping
+        item (queue order = the reference's transcript-line ordering)."""
         if self.carver is None:
             return
         t = self.tracker
-        if (t.ref_kf >= 0 and t.ref_kf != self._prev_tex_kf
-                and t.last_kf_frame_idx >= t.frame_idx - 1):
+        kf_recent = t.last_kf_frame_idx >= t.frame_idx - 1
+        tex = None
+        if t.ref_kf >= 0 and t.ref_kf != self._prev_tex_kf and kf_recent:
             img_kf = img if t.last_kf_frame_idx == t.frame_idx else self._prev_img
             if img_kf is not None:
-                self.carver.add_texture(t.ref_kf, img_kf)
+                tex = (t.ref_kf, img_kf)
                 self._prev_tex_kf = t.ref_kf
         self._prev_img = img
-        self.carver.poll()
+        if self.runner.deterministic:
+            if tex is not None:
+                self.carver.add_texture(*tex)
+            self.carver.poll()
+        else:
+            if tex is not None:
+                self.runner.submit(self.carver.add_texture, *tex)
+            if kf_recent:
+                self.runner.submit(self.carver.poll)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float) -> np.ndarray:
@@ -132,6 +153,7 @@ class System:
 
     def reset(self):
         """System::Reset cascade (Tracking.cc:1514-1561)."""
+        self.runner.flush()
         if self.carver is not None:
             self.carver.on_reset()
         self.map_host = ms.MapHost(self.cfg)
@@ -145,6 +167,11 @@ class System:
         self.tracker._velocity_dev = None
         self.tracker._pending = None
         self.tracker._force_slow = False
+        self.tracker._stale_pending = False
+        self.tracker._ref_kf_frame = None
+        self.tracker._map_jump_kf = -1
+        self.tracker._local_ids_np[:] = 0
+        self.tracker._local_mask_np[:] = False
         self.tracker.ref_kf = -1
         self.local_mapper.recent_points = []
         self.local_mapper.kf_counter = 0
@@ -155,11 +182,14 @@ class System:
             self.carver.host = self.map_host
 
     def shutdown(self):
-        """Flush async stages + lagged decisions; finalize the carving mesh."""
+        """Flush async stages + lagged decisions; finalize the carving mesh
+        (System::Shutdown joins the stage threads, System.cc:324-344)."""
         self.tracker._flush_pending()
+        self.runner.flush()
         self.tracker.finalize_trajectory()
         if self.carver is not None:
             self.carver.finalize()
+        self.runner.shutdown()
 
     # ------------------------------------------------------------------
     def get_tracking_state(self) -> int:
@@ -224,6 +254,8 @@ class System:
         host = self.map_host
         arrays = {f"dev_{k}": np.asarray(v) for k, v in m._asdict().items()}
         arrays.update(
+            host_ctr_visible=np.asarray(host.ctr_visible),
+            host_ctr_found=np.asarray(host.ctr_found),
             host_kf_valid=host.kf_valid, host_kf_frame_id=host.kf_frame_id,
             host_kf_timestamp=host.kf_timestamp, host_obs_pt=host.obs_pt,
             host_pt_valid=host.pt_valid, host_covis=host.covis,
@@ -246,6 +278,9 @@ class System:
         }
         self._map_ref[0] = ms.MapArrays(**fields)
         host = self.map_host
+        if "host_ctr_visible" in data:
+            host.ctr_visible = jnp.asarray(data["host_ctr_visible"])
+            host.ctr_found = jnp.asarray(data["host_ctr_found"])
         host.kf_valid = data["host_kf_valid"]
         host.kf_frame_id = data["host_kf_frame_id"]
         host.kf_timestamp = data["host_kf_timestamp"]

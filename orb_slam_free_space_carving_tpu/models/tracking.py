@@ -134,13 +134,15 @@ def _pose_opt_from_bindings(pose, track_pt, pt_xyz_all, frame_feat,
 
 
 @jax.jit
-def _counter_update(m: ms.MapArrays, visible_ids, vis_mask, found_ids, found_mask):
-    M = m.pt_xyz.shape[0]
+def _counter_update(ctr_visible, ctr_found, visible_ids, vis_mask,
+                    found_ids, found_mask):
+    """Tracker-side IncreaseVisible/Found deltas (see MapHost.ctr_*)."""
+    M = ctr_visible.shape[0]
     vsafe = jnp.where(vis_mask, visible_ids, M)
     fsafe = jnp.where(found_mask, found_ids, M)
-    return m._replace(
-        pt_visible=m.pt_visible.at[vsafe].add(1, mode="drop"),
-        pt_found=m.pt_found.at[fsafe].add(1, mode="drop"),
+    return (
+        ctr_visible.at[vsafe].add(1, mode="drop"),
+        ctr_found.at[fsafe].add(1, mode="drop"),
     )
 
 
@@ -162,7 +164,8 @@ def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
 )
 def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
                       last_octave, local_ids, local_mask, intr,
-                      inv_sigma2_by_level, orb_cfg, scale_factor, n_levels,
+                      inv_sigma2_by_level, pt_visible, pt_found,
+                      orb_cfg, scale_factor, n_levels,
                       wh, radius_motion, has_distortion):
     """ONE dispatch for the whole per-frame hot path (SURVEY.md section 3.2):
 
@@ -174,7 +177,14 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     one jitted program removes every intermediate host<->device round trip
     (the dominant cost at 17 fps pre-fusion) and lets XLA overlap the matmuls.
 
-    Returns (m', feat, pose, track_pt[N] global point ids, n_inliers).
+    ``pt_visible``/``pt_found`` are the TRACKER-owned counter arrays
+    (MapPoint::IncreaseVisible/Found are tracking-side in the reference too):
+    keeping them outside the shared map pytree means tracking never writes the
+    map cell, which is what lets the mapping stage run on its own thread
+    (P1/P2 of SURVEY section 2.4) without write-write races.
+
+    Returns (feat, frame_is2, pose, track_pt, n_inliers, velocity,
+    pt_visible', pt_found').
     """
     from orb_slam_free_space_carving_tpu.ops import orb as orb_ops
 
@@ -267,14 +277,13 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     # --- counters: visible (in frustum) & found (tracked) per local point
     vis_ids = jnp.where(ok_f & l_valid, local_ids, M)
     found_sel = jnp.where(track_pt >= 0, track_pt, M)
-    m = m._replace(
-        pt_visible=m.pt_visible.at[vis_ids].add(1, mode="drop"),
-        pt_found=m.pt_found.at[found_sel].add(1, mode="drop"),
-    )
+    pt_visible = pt_visible.at[vis_ids].add(1, mode="drop")
+    pt_found = pt_found.at[found_sel].add(1, mode="drop")
     # Constant-velocity model update on device (Tracking.cc:451-459) — keeps
     # the velocity out of the host round-trip loop entirely.
     velocity = lie.se3_compose(pose, lie.se3_inverse(last_pose))
-    return m, feat, frame_is2, pose, track_pt, n_inliers, velocity
+    return (feat, frame_is2, pose, track_pt, n_inliers, velocity,
+            pt_visible, pt_found)
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +292,7 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
 
 class Tracker:
     def __init__(self, cfg: SystemConfig, map_arrays_ref, map_host: ms.MapHost,
-                 local_mapper=None, relocalizer=None):
+                 local_mapper=None, relocalizer=None, runner=None):
         self.cfg = cfg
         self.builder = FrameBuilder(cfg)
         self.intr = camera.intrinsics_array(cfg.camera)
@@ -311,10 +320,17 @@ class Tracker:
         # the TPU tunnel).  (frame, track_pt, n_inl, timestamp, frame_idx)
         self._pending = None
         self._force_slow = False
+        self._stale_pending = False
+        # Async stage runtime (None or a StageRunner; deterministic = inline).
+        self.runner = runner
+        self._ref_kf_frame: Optional[FrameData] = None
+        self._map_jump_kf = -1               # set by the worker on loop/GBA
         # Device-resident fast-path state (refreshed on keyframe events).
         cap_l = LOCAL_POINTS_CAP
         self._local_ids = jnp.zeros((cap_l,), jnp.int32)
         self._local_mask = jnp.zeros((cap_l,), bool)
+        self._local_ids_np = np.zeros((cap_l,), np.int32)
+        self._local_mask_np = np.zeros((cap_l,), bool)
         self._track_pt_dev = None            # [N] int32 on device
         self._inv_sigma2_lv = jnp.asarray(
             1.0 / np.array(cfg.orb.level_sigma2, np.float32)
@@ -340,6 +356,19 @@ class Tracker:
         numpy on demand; the trajectory is materialized in one batched
         transfer by :meth:`finalize_trajectory`."""
         self.frame_idx += 1
+
+        if self._map_jump_kf >= 0:
+            # The worker closed a loop / ran GBA: re-anchor on the corrected
+            # keyframe pose and re-track via the slow path (see _on_map_jump).
+            jump_kf, self._map_jump_kf = self._map_jump_kf, -1
+            self._pending = None            # computed against the old map
+            if self.last_frame is not None:
+                self.last_frame = self.last_frame._replace(
+                    pose=self.m.kf_pose[jump_kf]
+                )
+            self.velocity = None
+            self._velocity_dev = None
+            self._force_slow = True
 
         have_vel = self._velocity_dev is not None or self.velocity is not None
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
@@ -483,11 +512,13 @@ class Tracker:
     def _track_frame_fast(self, img_dev, timestamp: float):
         if self._velocity_dev is None:
             self._velocity_dev = jnp.asarray(self.velocity)
-        m, feat, frame_is2, pose, track_pt, n_inl, vel = _fused_track_step(
+        (feat, frame_is2, pose, track_pt, n_inl, vel,
+         ctr_vis, ctr_fnd) = _fused_track_step(
             self.m, img_dev, self.last_frame.pose, self._velocity_dev,
             self._track_pt_dev, self.last_frame.feat.octave,
             self._local_ids, self._local_mask,
             self.intr, self._inv_sigma2_lv,
+            self.host.ctr_visible, self.host.ctr_found,
             self.cfg.orb, self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
             self.wh, self.cfg.matcher.search_radius_motion,
             self.cfg.camera.has_distortion,
@@ -500,7 +531,8 @@ class Tracker:
 
         # Optimistically advance device-resident state; the pending frame's
         # inlier count is examined next frame (or at flush).
-        self.m = m
+        self.host.ctr_visible = ctr_vis
+        self.host.ctr_found = ctr_fnd
         self._velocity_dev = vel
         self._track_pt_dev = track_pt
         self.last_frame = frame
@@ -525,6 +557,9 @@ class Tracker:
             self.last_track_pt = np.asarray(track_pt)
             return
         self.state = OK
+        if self._stale_pending:
+            self._stale_pending = False
+            return
         if self._need_new_keyframe(n):
             track_pt_np = np.asarray(track_pt)
             self.last_track_pt = track_pt_np
@@ -568,6 +603,7 @@ class Tracker:
         msk = np.zeros(LOCAL_POINTS_CAP, bool)
         out[: ids.size] = ids
         msk[: ids.size] = True
+        self._local_ids_np, self._local_mask_np = out, msk
         self._local_ids = jnp.asarray(out)
         self._local_mask = jnp.asarray(msk)
 
@@ -723,7 +759,10 @@ class Tracker:
             kf_pose=m.kf_pose.at[kf2].set(pose2_ba),
             pt_xyz=m.pt_xyz.at[ids].set(pts_ba),
         )
-        self.m = ms.update_point_stats(m)
+        self.m = ms.update_point_stats(
+            m, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
 
         self.host.update_covisibility(kf1)
         self.host.update_covisibility(kf2)
@@ -859,7 +898,13 @@ class Tracker:
         pt_xyz = m.pt_xyz[pt_ids_j]
         pt_desc = m.pt_desc[pt_ids_j]
         pt_valid = m.pt_valid[pt_ids_j] & jnp.asarray(cand)
-        pt_octave = m.kf_octave[kf]
+        # Use the tracker-held reference-KF frame when available: in async
+        # mode the device-side KF arrays may not have landed yet (the insert
+        # runs on the stage worker), and the frame copy is always current.
+        if self._ref_kf_frame is not None and self.last_kf_frame_idx >= 0:
+            pt_octave = self._ref_kf_frame.feat.octave
+        else:
+            pt_octave = m.kf_octave[kf]
         # Wide search from the last pose (BoW-free stand-in for SearchByBoW).
         pose, idx, inliers, n_inl = _track_motion_step(
             self.last_frame.pose, pt_xyz, pt_desc, pt_octave, pt_valid,
@@ -947,8 +992,9 @@ class Tracker:
         fz = min(found_ids.size, LOCAL_POINTS_CAP)
         found_pad[:fz] = found_ids[:fz]
         found_mask[:fz] = True
-        self.m = _counter_update(
-            m, ids_j, jnp.asarray(vis_np & idmask),
+        self.host.ctr_visible, self.host.ctr_found = _counter_update(
+            self.host.ctr_visible, self.host.ctr_found,
+            ids_j, jnp.asarray(vis_np & idmask),
             jnp.asarray(found_pad), jnp.asarray(found_mask),
         )
         return frame._replace(pose=pose), track_pt, int(n_inl)
@@ -991,28 +1037,58 @@ class Tracker:
 
     def _create_new_keyframe(self, frame: FrameData, timestamp: float,
                              track_pt: np.ndarray):
-        """Tracking.cc:1072-1150 + CARV AddKeyFrameEntry hook."""
+        """Tracking.cc:1072-1150 + CARV AddKeyFrameEntry hook.
+
+        Tracking-thread part: slot allocation + host bookkeeping (cheap, no
+        device sync).  The map writes (device insert, covisibility, journal,
+        mapping/loop/carving chain) run on the stage worker in async mode —
+        the reference's Tracking -> LocalMapping queue hand-off
+        (``LocalMapping.cc:124-129``)."""
         kf = self.host.alloc_keyframe()
         new_xyz = np.zeros((0, 3))
         new_pids = np.zeros(0, np.int64)
         if frame.depth is not None:
             # Close-point insertion (Tracking.cc:1098-1146): unbound features
             # with depth become map points, nearest first, until depth exceeds
-            # ThDepth and at least 100 points exist.
+            # ThDepth and at least 100 points exist.  Inline-only path
+            # (stereo/RGB-D runs the deterministic pipeline).
             track_pt, new_xyz, new_pids = self._insert_depth_points(
                 frame, kf, track_pt
             )
         self.host.obs_pt[kf] = track_pt
         self.host.kf_frame_id[kf] = self.frame_idx
         self.host.kf_timestamp[kf] = timestamp
+        self.ref_kf = kf
+        self._ref_kf_frame = frame
+        self.last_kf_frame_idx = self.frame_idx
+
+        use_async = (
+            self.runner is not None and not self.runner.deterministic
+            and frame.depth is None
+        )
+        if use_async:
+            # The fast path needs this keyframe's freshly tracked points in
+            # the local set immediately; the full covisibility refresh lands
+            # when the worker finishes the keyframe.
+            self._merge_local_ids(track_pt)
+            self.runner.submit(
+                self._process_keyframe_mapside, kf, frame, track_pt.copy(),
+                new_xyz, new_pids,
+            )
+        else:
+            self._process_keyframe_mapside(kf, frame, track_pt, new_xyz,
+                                           new_pids)
+
+    def _process_keyframe_mapside(self, kf: int, frame: FrameData,
+                                  track_pt: np.ndarray, new_xyz, new_pids):
+        """Map-writing half of keyframe insertion; runs on the stage worker
+        (async) or inline (deterministic)."""
         f = frame.feat
         self.m = ms.insert_keyframe_arrays(
             self.m, kf, frame.pose, f.uv_und, f.octave, f.angle, f.desc,
             f.valid, jnp.asarray(track_pt), ur_row=frame.u_right,
         )
         self.host.update_covisibility(kf)
-        self.ref_kf = kf
-        self.last_kf_frame_idx = self.frame_idx
 
         # CARV event: new cam + visibility list (Modeler::AddKeyFrameEntry).
         center = np.asarray(lie.se3_inverse(frame.pose))[4:7]
@@ -1023,8 +1099,43 @@ class Tracker:
             vis_ids=vis_ids.copy(),
         ))
         if self.local_mapper is not None:
+            big0 = self.host.big_change_idx
             self.local_mapper.on_keyframe(kf)
+            if self.host.big_change_idx != big0:
+                self._on_map_jump(kf)
         self._refresh_local_points()
+
+    def _on_map_jump(self, kf: int):
+        """A loop closure / global BA moved the whole map while keyframe
+        ``kf`` was processed (LoopClosing::CorrectLoop).  Re-sync the tracker
+        onto the corrected keyframe pose; the next frame re-tracks against
+        the reference KF from there (the motion-model velocity is stale
+        across the jump).  In async mode only the flag is set here (worker
+        thread); the tracking thread applies it at its next frame."""
+        if self.runner is not None and not self.runner.deterministic:
+            self._map_jump_kf = kf
+            return
+        self.last_frame = self.last_frame._replace(pose=self.m.kf_pose[kf])
+        self.velocity = None
+        self._velocity_dev = None
+        self._force_slow = True
+        # Any in-flight fast-path frame was computed against the
+        # pre-correction map; its pose must not seed a keyframe.
+        self._stale_pending = True
+
+    def _merge_local_ids(self, track_pt: np.ndarray):
+        """Union the new keyframe's tracked points into the local point
+        buffer (host mirror + async device puts, no sync)."""
+        own = track_pt[track_pt >= 0]
+        cur = self._local_ids_np[self._local_mask_np]
+        ids = np.unique(np.concatenate([own, cur]))[:LOCAL_POINTS_CAP]
+        out = np.zeros(LOCAL_POINTS_CAP, np.int32)
+        msk = np.zeros(LOCAL_POINTS_CAP, bool)
+        out[: ids.size] = ids
+        msk[: ids.size] = True
+        self._local_ids_np, self._local_mask_np = out, msk
+        self._local_ids = jnp.asarray(out)
+        self._local_mask = jnp.asarray(msk)
 
     def _insert_depth_points(self, frame: FrameData, kf: int,
                              track_pt: np.ndarray):

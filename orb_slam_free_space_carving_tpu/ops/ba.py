@@ -285,15 +285,29 @@ def ba_solve(
 # Matrix-free CG variant (global-BA scale; shardable over observations)
 # ---------------------------------------------------------------------------
 
-def _schur_matvec(x, Ublk, Vinv, Wd, lam):
-    """S x = (U + lam I) x - W V^-1 W^T x, all dense-block ops."""
-    C = Ublk.shape[0]
+def _schur_matvec_obs(x, Ublk, Vinv, wJc, Jp, obs_cam, obs_point, lam, C, P):
+    """S x = (U + lam I) x - W V^-1 W^T x, matrix-free over observations.
+
+    W[c,p] = sum_o Jc[o]^T w[o] Jp[o] is never materialized (it is [C,P,6,3]
+    dense — 300 MB at global-BA capacity); instead each application is two
+    per-observation einsum + segment_sum passes, O(O) work and memory.  This
+    is also the form that shards over observations (parallel/sharded.py): the
+    segment sums become one all-reduce each under GSPMD.
+    """
     xb = x.reshape(C, 6)
     Ux = jnp.einsum("cij,cj->ci", Ublk, xb).reshape(-1) + lam * x
-    WTx = jnp.einsum("kpi,k->pi", Wd, x)
-    VWTx = jnp.einsum("pij,pj->pi", Vinv, WTx)
-    WVWTx = jnp.einsum("kpi,pi->k", Wd, VWTx)
-    return Ux - WVWTx
+    # W^T x: per-obs Jp^T (w Jc x_cam) -> segment-sum by point.
+    Jcx = jnp.einsum("ori,oi->or", wJc, xb[obs_cam])           # [O,r]
+    WTx = jax.ops.segment_sum(
+        jnp.einsum("orj,or->oj", Jp, Jcx), obs_point, num_segments=P
+    )                                                          # [P,3]
+    y = jnp.einsum("pij,pj->pi", Vinv, WTx)                    # [P,3]
+    # W y: per-obs wJc^T (Jp y_point) -> segment-sum by camera.
+    Jpy = jnp.einsum("orj,oj->or", Jp, y[obs_point])           # [O,r]
+    Wy = jax.ops.segment_sum(
+        jnp.einsum("ori,or->oi", wJc, Jpy), obs_cam, num_segments=C
+    )                                                          # [C,6]
+    return Ux - Wy.reshape(-1)
 
 
 def ba_solve_cg(
@@ -339,16 +353,14 @@ def ba_solve_cg(
         bp = -jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", wJp, e), prob.obs_point, num_segments=P
         )
-        Wblk = jax.ops.segment_sum(
-            jnp.einsum("oij,oik->ojk", wJc, Jp),
-            prob.obs_cam * P + prob.obs_point,
-            num_segments=C * P,
-        ).reshape(C, P, 6, 3)
         Vinv = _inv3x3(Vblk + lam * jnp.eye(3))
-        Wd = Wblk.transpose(0, 2, 1, 3).reshape(C * 6, P, 3)
-        rhs = bc.reshape(-1) - jnp.einsum(
-            "kpi,pi->k", Wd, jnp.einsum("pij,pj->pi", Vinv, bp)
+        # rhs = bc - W V^-1 bp, matrix-free (see _schur_matvec_obs).
+        y0 = jnp.einsum("pij,pj->pi", Vinv, bp)
+        Jpy0 = jnp.einsum("orj,oj->or", Jp, y0[prob.obs_point])
+        Wy0 = jax.ops.segment_sum(
+            jnp.einsum("ori,or->oi", wJc, Jpy0), prob.obs_cam, num_segments=C
         )
+        rhs = bc.reshape(-1) - Wy0.reshape(-1)
         free6 = jnp.repeat(prob.cam_free, 6)
         rhs = jnp.where(free6, rhs, 0.0)
 
@@ -357,7 +369,9 @@ def ba_solve_cg(
         Minv = jnp.where(free6, 1.0 / jnp.maximum(diagU, 1e-8), 0.0)
 
         def matvec(x):
-            y = _schur_matvec(x, Ublk, Vinv, Wd, lam)
+            y = _schur_matvec_obs(
+                x, Ublk, Vinv, wJc, Jp, prob.obs_cam, prob.obs_point, lam, C, P
+            )
             return jnp.where(free6, y, x)
 
         def cg_body(_, state):
@@ -379,7 +393,11 @@ def ba_solve_cg(
         )
         dxc = dxc_flat.reshape(C, 6)
 
-        WTdx = jnp.einsum("kpi,k->pi", Wd, dxc_flat)
+        # Back-substitute points, matrix-free: W^T dx via per-obs pass.
+        Jcdx = jnp.einsum("ori,oi->or", wJc, dxc[prob.obs_cam])
+        WTdx = jax.ops.segment_sum(
+            jnp.einsum("orj,or->oj", Jp, Jcdx), prob.obs_point, num_segments=P
+        )
         dxp = jnp.einsum("pij,pj->pi", Vinv, bp - WTdx) * prob.point_valid[:, None]
 
         new_poses = jax.vmap(lie.se3_retract)(cam_poses, dxc * prob.cam_free[:, None])

@@ -1,0 +1,103 @@
+"""Asynchronous stage runtime: the P1-P5 thread pipeline, TPU-style.
+
+The reference runs Tracking in the caller's thread and LocalMapping /
+LoopClosing / the Modeler on their own pthreads with mutex-guarded shared
+state (``src/System.cc:96-119``, SURVEY.md section 2.4 P1-P5).  Here the same
+latency hiding comes from ONE worker thread that owns every map *write*:
+
+- The tracking thread's per-frame hot path is a single device dispatch that
+  only READS the shared map cell (``_map_ref[0]``, an immutable pytree
+  snapshot swapped atomically) and writes tracker-private state.
+- Keyframe events, mapping, loop closure, global BA and carving are enqueued
+  as work items and executed in order on the worker thread — the exact
+  Tracking -> LocalMapping -> LoopClosing -> Modeler queue dataflow of the
+  reference, minus the per-object mutexes (functional snapshots make the
+  reader side race-free by construction).
+- ``is_idle`` reports whether the queue has drained — the signal the
+  reference exposes as ``LocalMapping::AcceptKeyFrames`` and that the
+  keyframe policy's c1b condition consumes (``Tracking.cc:1029``).
+
+While the worker blocks on a device transfer (JAX releases the GIL), the
+tracking thread keeps dispatching frames — that overlap is where the fps
+goes: local BA and carving leave the per-frame critical path entirely.
+
+``deterministic=True`` (the default, used by every test) degrades to inline
+execution: submit() runs the item immediately in the caller's thread, making
+the pipeline bit-reproducible.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from typing import Callable, Optional
+
+
+class StageRunner:
+    """Single worker thread executing map-mutating stage work in order."""
+
+    def __init__(self, deterministic: bool = True, name: str = "mapping"):
+        self.deterministic = deterministic
+        self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._pending = 0
+        self._lock = threading.Lock()
+        self._idle = threading.Event()
+        self._idle.set()
+        self._errors: list = []
+        self._thread = None
+        if not deterministic:
+            self._thread = threading.Thread(
+                target=self._run, name=f"osfsc-{name}", daemon=True
+            )
+            self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, fn: Callable, *args, **kwargs):
+        """Enqueue one stage item (inline in deterministic mode)."""
+        if self.deterministic:
+            fn(*args, **kwargs)
+            return
+        with self._lock:
+            self._pending += 1
+            self._idle.clear()
+        self._queue.put((fn, args, kwargs))
+
+    def is_idle(self) -> bool:
+        return self._idle.is_set()
+
+    def flush(self, timeout: Optional[float] = None):
+        """Block until every submitted item has executed."""
+        if self.deterministic:
+            return
+        self._idle.wait(timeout)
+        if self._errors:
+            err = self._errors[0]
+            raise RuntimeError(f"stage worker failed: {err}")
+
+    def shutdown(self):
+        if self._thread is not None:
+            self.flush()
+            self._queue.put(None)
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    # ------------------------------------------------------------------
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            fn, args, kwargs = item
+            try:
+                fn(*args, **kwargs)
+            except Exception:                      # pragma: no cover
+                # The reference swallows CARV exceptions at every boundary
+                # (SFMTranscriptInterface_Delaunay.cpp:353-356); here failures
+                # are recorded and re-raised at the next flush().
+                self._errors.append(traceback.format_exc())
+            finally:
+                with self._lock:
+                    self._pending -= 1
+                    if self._pending == 0:
+                        self._idle.set()

@@ -1,0 +1,168 @@
+"""End-to-end loop closure on a synthetic circuit trajectory.
+
+The capability chain this exercises (reference ``src/LoopClosing.cc``):
+DetectLoop -> ComputeSim3 (Horn RANSAC + SearchBySim3 + OptimizeSim3 +
+SearchByProjection(Scw) >=40 gate) -> CorrectLoop (fuse + essential graph +
+SearchAndFuse + global BA).  The camera walks a full circle inside a closed
+6-wall room, always looking tangentially: start and end views coincide, the
+middle of the circuit shares no features with either end, so closing the loop
+requires the explicit place-recognition path (no implicit re-binding through
+the covisible local map).
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam_free_space_carving_tpu.config import (
+    CameraConfig, CapacityConfig, ORBConfig, SystemConfig,
+)
+from orb_slam_free_space_carving_tpu.models import tracking as trk
+from orb_slam_free_space_carving_tpu.models.system import System
+from orb_slam_free_space_carving_tpu.utils.synthetic import (
+    Quad, SyntheticSequence, _block_texture, make_room_scene,
+)
+from orb_slam_free_space_carving_tpu.utils.trajectory import ate_rmse
+
+
+def closed_room_scene(seed: int = 3, extent: float = 4.0):
+    """The standard room plus a front wall at z=0 (closing the box) so a full
+    360-degree circuit always faces texture."""
+    scene = make_room_scene(seed, extent)
+    # Drop the interior box (it would occlude the tangential views).
+    scene = scene[:5]
+    rng = np.random.default_rng(seed + 100)
+    e = extent
+    scene.append(Quad(
+        np.array([-e / 2, -e / 2, 0.0]),
+        np.array([e, 0, 0.0]),
+        np.array([0.0, e, 0]),
+        _block_texture(rng),
+    ))
+    return scene
+
+
+def circuit_trajectory(n_frames: int, radius: float = 0.7,
+                       center=(0.0, 0.0, 2.0)):
+    """Full-circle walk looking tangentially (a closed loop with drift
+    accumulation and no mid-circuit view overlap with the start)."""
+    poses = []
+    cx0, cy0, cz0 = center
+    for i in range(n_frames):
+        s = i / n_frames
+        ang = 2.0 * np.pi * s
+        # Camera center on the circle (x-z plane).
+        cw = np.array([
+            cx0 + radius * np.sin(ang),
+            cy0,
+            cz0 - radius * np.cos(ang),
+        ])
+        # Look tangentially: world yaw equals the circuit angle.
+        cyw, syw = np.cos(ang), np.sin(ang)
+        Rwc = np.array([[cyw, 0, syw], [0, 1, 0], [-syw, 0, cyw]])
+        R = Rwc.T
+        t = -R @ cw
+        poses.append((R, t))
+    return poses
+
+
+def _cfg() -> SystemConfig:
+    return SystemConfig(
+        camera=CameraConfig(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240),
+        orb=ORBConfig(n_features=800, n_levels=4, n_features_pad=1024),
+        capacity=CapacityConfig(
+            max_keyframes=64, max_points=16384,
+            local_ba_window=8, local_ba_fixed=4,
+            local_ba_points=4096, local_ba_obs=8192,
+            gba_obs=16384, loop_points=1024, sim3_pairs=512,
+        ),
+        deterministic=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def looped_system():
+    cfg = _cfg()
+    n = 150
+    scene = closed_room_scene()
+    poses = circuit_trajectory(n)
+    seq = SyntheticSequence(cfg.camera, n_frames=n, scene=scene,
+                            poses_cw=poses)
+    sysm = System(cfg, enable_carving=False)
+
+    pre_loop_ate = {}
+
+    def _ate_now():
+        from orb_slam_free_space_carving_tpu.utils import lie
+        import jax.numpy as jnp
+
+        sysm.tracker.finalize_trajectory()
+        traj = sysm.tracker.trajectory
+        idxs = [i for i, (_, _, s) in enumerate(traj) if s == trk.OK]
+        est = np.asarray(
+            lie.se3_inverse(jnp.asarray(np.stack([traj[i][1] for i in idxs])))
+        )[:, 4:7]
+        gt = seq.gt_positions()[idxs]
+        return ate_rmse(est, gt, with_scale=True)
+
+    lc = sysm.loop_closer
+    orig = lc._correct_loop
+
+    def timed_correct(*a, **k):
+        if not pre_loop_ate:
+            pre_loop_ate["ate"] = _ate_now()
+        return orig(*a, **k)
+
+    lc._correct_loop = timed_correct
+
+    for ts, img in seq:
+        sysm.track_monocular(img, ts)
+    sysm.shutdown()
+    return cfg, seq, sysm, pre_loop_ate
+
+
+class TestLoopClosureE2E:
+    def test_loop_closed(self, looped_system):
+        _, _, sysm, _ = looped_system
+        assert sysm.loop_closer.n_loops_closed >= 1
+
+    def test_global_ba_ran(self, looped_system):
+        _, _, sysm, _ = looped_system
+        assert sysm.loop_closer.global_ba.n_runs >= 1
+
+    def test_ate_improves_or_small(self, looped_system):
+        _, seq, sysm, pre = looped_system
+        from orb_slam_free_space_carving_tpu.utils import lie
+        import jax.numpy as jnp
+
+        ts, poses, states = sysm.frame_trajectory()
+        ok = states == trk.OK
+        est = np.asarray(lie.se3_inverse(jnp.asarray(poses[ok])))[:, 4:7]
+        gt = seq.gt_positions()[ok]
+        ate = ate_rmse(est, gt, with_scale=True)
+        # Post-loop keyframe map must beat the drifted pre-loop state (the
+        # frame trajectory retains pre-correction poses for old frames, so
+        # compare the keyframe trajectory instead).
+        kf_ts, kf_poses = sysm.keyframe_trajectory()
+        frame_ids = np.round(np.asarray(kf_ts) * 30.0).astype(int)
+        kf_est = np.asarray(lie.se3_inverse(jnp.asarray(kf_poses)))[:, 4:7]
+        kf_gt = seq.gt_positions()[np.clip(frame_ids, 0, len(seq) - 1)]
+        kf_ate = ate_rmse(kf_est, kf_gt, with_scale=True)
+        assert kf_ate < max(pre.get("ate", np.inf), 0.08), (
+            f"post-loop KF ATE {kf_ate:.4f} vs pre-loop {pre.get('ate')}"
+        )
+
+    def test_tracking_survives_correction(self, looped_system):
+        _, seq, sysm, _ = looped_system
+        _, _, states = sysm.frame_trajectory()
+        # Tracking must not be lost for more than a handful of frames after
+        # the map jump.
+        assert (states == trk.OK).sum() >= len(seq) - 12
+
+    def test_map_duplicates_fused(self, looped_system):
+        _, _, sysm, _ = looped_system
+        host = sysm.map_host
+        # After SearchAndFuse the start/end keyframes share points: the loop
+        # keyframe must be covisible with an old keyframe.
+        lc = sysm.loop_closer
+        assert len(host.loop_edges) >= 1
