@@ -9,7 +9,7 @@ measured_fps / 30.
 
 Design notes for reproducible timing on the tunneled TPU:
 - every jitted program lands in the persistent compile cache
-  (``.jax_cache``, committed to the repo), so a fresh driver run pays cache
+  (``.jax_cache_tpu``, committed to the repo), so a fresh driver run pays cache
   loads, not compiles;
 - the warm-up pass is only as long as needed to touch every program
   (init, fused fast path, keyframe mapping chain, carving, loop detection);
@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

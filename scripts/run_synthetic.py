@@ -20,7 +20,7 @@ if "--cpu" in sys.argv:
     # sitecustomize forces jax_platforms="axon,cpu"; override explicitly.
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from orb_slam_free_space_carving_tpu.config import (

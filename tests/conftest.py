@@ -24,7 +24,7 @@ import jax  # noqa: E402
 jax.config.update(
     "jax_platforms", os.environ.get("OSFSC_TEST_PLATFORM", "cpu")
 )
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/osfsc_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
