@@ -115,20 +115,29 @@ def carve_votes(
 def mrf_relax(votes: jnp.ndarray, evidence: jnp.ndarray,
               lambda_smooth: float = 0.05, iterations: int = 16,
               free_threshold: float = 0.5) -> jnp.ndarray:
-    """Smooth free/occupied labelling via damped mean-field relaxation.
+    """Free/occupied labelling via damped mean-field relaxation of the
+    reference's min-cut energy.
 
     Replaces the BK max-flow over tet adjacency (``tetsToTris_maxFlowSimple``
-    ``.cc:1517-1661``): data term pushes cells with votes toward *free* (+1)
-    and cells with endpoint evidence toward *occupied* (-1); the pairwise term
-    (weight ``lambda_smooth``, the reference's 0.05 facet-area weight) averages
-    the 6-neighborhood.  Weak regularization -> a few Jacobi sweeps converge.
+    ``.cc:1517-1661``) with the SAME energy on the voxel graph: unary term =
+    cell volume toward *free* if it has votes, toward *occupied* otherwise
+    (``.cc:1568-1584``, P_constr_X0=1/P_no_constr_X1=1); pairwise term
+    ``lambda_smooth`` x face area (the reference's 0.05, ``.cc:1579``)
+    averaging the 6-neighborhood.  On a uniform voxel grid the unary weight
+    (1.0) strictly dominates the total pairwise pull (6 x 0.05 = 0.3), so the
+    exact min-cut labeling equals vote>0 thresholding and the damped Jacobi
+    relaxation provably reproduces it sign-exactly — verified against
+    scipy's exact max-flow in ``tests/test_mincut.py``.
+
+    ``evidence`` (point-endpoint mass) does NOT enter the energy — the
+    reference's data term is votes-only; evidence gates which boundary faces
+    become surface (``boundary_faces``), mirroring the bounding-vertex facet
+    exclusion (``.cc:1620-1640``).
 
     Returns a soft field in [-1, 1]; free space is field > 0.
     """
-    data = jnp.tanh(votes / jnp.maximum(free_threshold, 1e-6) * 0.5) - jnp.tanh(
-        evidence * 2.0
-    )
-    data = jnp.clip(data, -1.0, 1.0)
+    del evidence  # face-gating only (boundary_faces); not part of the energy
+    data = jnp.where(votes > free_threshold, 1.0, -1.0).astype(jnp.float32)
 
     def sweep(_, x):
         n = (

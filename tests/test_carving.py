@@ -88,7 +88,9 @@ class TestMRF:
         field = carving.mrf_relax(votes, ev, lambda_smooth=0.05, iterations=8)
         f = np.asarray(field)
         assert f[8, 8, 8] > 0          # voted cell stays free
-        assert abs(f[0, 0, 0]) < 0.1   # far cells stay neutral
+        # Reference energy (.cc:1568-1584): cells with no votes are INSIDE
+        # (occupied) — unknown space is not carved.
+        assert f[0, 0, 0] < 0
 
     def test_evidence_pushes_occupied(self):
         votes = jnp.zeros((8, 8, 8))
