@@ -33,6 +33,105 @@ from orb_slam_free_space_carving_tpu.ops import carving
 from orb_slam_free_space_carving_tpu.utils import lie
 
 
+def carve_mesh(origins: np.ndarray, targets: np.ndarray, ccfg):
+    """Full carve: constraint rays -> (vertices, faces, field) or None.
+
+    The shared back half of ``Modeler``'s model recompute
+    (``SFMTranscriptInterface_Delaunay::computeCurrentModel`` ``.cpp:397-414``
+    -> ``FreespaceDelaunayAlgorithm::tetsToTris``), used both by the live
+    :class:`Carver` and by transcript replay (models/transcript.py).
+    """
+    if origins.shape[0] < 50:
+        return None
+
+    # Giant-point quarantine (the reference excludes points outside a
+    # robust bound from carving, SFMTranscriptInterface_Delaunay.cpp:
+    # 294-329 + 416-456): percentile bounds over targets, constraints
+    # whose endpoint falls outside are dropped.
+    lo_p = np.percentile(targets, 2.0, axis=0)
+    hi_p = np.percentile(targets, 98.0, axis=0)
+    center = 0.5 * (lo_p + hi_p)
+    half = 0.5 * (hi_p - lo_p) * float(ccfg.bounds_scale) + 1e-3
+    lo_np = np.minimum(center - half, origins.min(axis=0) - 1e-3)
+    hi_np = np.maximum(center + half, origins.max(axis=0) + 1e-3)
+    keep = np.all((targets >= lo_np) & (targets <= hi_np), axis=1)
+    origins, targets = origins[keep], targets[keep]
+    if origins.shape[0] < 50:
+        return None
+
+    # Pad rays to a static bucket (powers of two) for jit cache reuse.
+    B = 1 << int(np.ceil(np.log2(max(origins.shape[0], 1024))))
+    pad = B - origins.shape[0]
+    mask = np.ones(B, bool)
+    if pad:
+        mask[origins.shape[0]:] = False
+        origins = np.pad(origins, ((0, pad), (0, 0)))
+        targets = np.pad(targets, ((0, pad), (0, 0)))
+
+    pts_all = jnp.asarray(targets)
+    lo = jnp.asarray(lo_np, jnp.float32)
+    hi = jnp.asarray(hi_np, jnp.float32)
+    votes, evidence = carving.carve_votes(
+        jnp.asarray(origins), pts_all, jnp.asarray(mask), lo, hi,
+        resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,
+    )
+    field = carving.mrf_relax(
+        votes, evidence, lambda_smooth=ccfg.lambda_smooth,
+        iterations=ccfg.mrf_iterations,
+        free_threshold=ccfg.free_vote_threshold,
+    )
+    ev_dil = carving.dilate_evidence(evidence, radius=ccfg.evidence_dilation)
+    fx, fy, fz = carving.boundary_faces(field, ev_dil)
+
+    field_np = np.asarray(field)
+    verts, faces = surface_nets(
+        np.asarray(fx), np.asarray(fy), np.asarray(fz),
+        field_np, np.asarray(lo), np.asarray(hi),
+    )
+    return verts, faces, field_np
+
+
+def surface_nets(fx, fy, fz, field, lo, hi):
+    """Vectorized boundary-face mesh: one quad (two triangles) per voxel
+    face on the free/occupied interface, vertices on the corner lattice
+    (dedup via np.unique).
+
+    Watertight on the interface — the voxel analog of the reference's
+    "facets between kept and carved tets"
+    (``tetsToTris_maxFlowSimple`` ``.cc:1617-1655``).
+    """
+    R = field.shape[0]
+    scale = (hi - lo) / R
+
+    quads = []  # [F,4,3] corner lattice indices
+    for ax, fgrid in ((0, fx), (1, fy), (2, fz)):
+        cells = np.argwhere(fgrid)              # [F,3]
+        if cells.size == 0:
+            continue
+        t1 = (ax + 1) % 3
+        t2 = (ax + 2) % 3
+        e_a = np.eye(3, dtype=np.int64)[ax]
+        e1 = np.eye(3, dtype=np.int64)[t1]
+        e2 = np.eye(3, dtype=np.int64)[t2]
+        base = cells + e_a                      # face plane corner origin
+        q = np.stack(
+            [base, base + e1, base + e1 + e2, base + e2], axis=1
+        )
+        quads.append(q)
+
+    if not quads:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    q = np.concatenate(quads)                   # [F,4,3]
+    corners = q.reshape(-1, 3)
+    uniq, inv = np.unique(corners, axis=0, return_inverse=True)
+    fidx = inv.reshape(-1, 4)                   # [F,4]
+    vertices = (uniq.astype(np.float32) * scale + lo).astype(np.float32)
+    faces = np.concatenate(
+        [fidx[:, [0, 1, 2]], fidx[:, [0, 2, 3]]], axis=0
+    ).astype(np.int64)
+    return vertices, faces
+
+
 class Carver:
     def __init__(self, cfg: SystemConfig, map_arrays_ref, map_host: ms.MapHost,
                  mesh_every_kfs: int = 5):
@@ -218,98 +317,12 @@ class Carver:
 
     def update_mesh(self):
         """Recompute vote grids from all constraints + extract the surface."""
-        ccfg = self.cfg.carving
         origins, targets = self._constraints()
-        if origins.shape[0] < 50:
+        out = carve_mesh(origins, targets, self.cfg.carving)
+        if out is None:
             return
-
-        # Giant-point quarantine (the reference excludes points outside a
-        # robust bound from carving, SFMTranscriptInterface_Delaunay.cpp:
-        # 294-329 + 416-456): percentile bounds over targets, constraints
-        # whose endpoint falls outside are dropped.
-        lo_p = np.percentile(targets, 2.0, axis=0)
-        hi_p = np.percentile(targets, 98.0, axis=0)
-        center = 0.5 * (lo_p + hi_p)
-        half = 0.5 * (hi_p - lo_p) * float(ccfg.bounds_scale) + 1e-3
-        lo_np = np.minimum(center - half, origins.min(axis=0) - 1e-3)
-        hi_np = np.maximum(center + half, origins.max(axis=0) + 1e-3)
-        keep = np.all((targets >= lo_np) & (targets <= hi_np), axis=1)
-        origins, targets = origins[keep], targets[keep]
-        if origins.shape[0] < 50:
-            return
-
-        # Pad rays to a static bucket (powers of two) for jit cache reuse.
-        B = 1 << int(np.ceil(np.log2(max(origins.shape[0], 1024))))
-        pad = B - origins.shape[0]
-        mask = np.ones(B, bool)
-        if pad:
-            mask[origins.shape[0]:] = False
-            origins = np.pad(origins, ((0, pad), (0, 0)))
-            targets = np.pad(targets, ((0, pad), (0, 0)))
-
-        pts_all = jnp.asarray(targets)
-        lo = jnp.asarray(lo_np, jnp.float32)
-        hi = jnp.asarray(hi_np, jnp.float32)
-        votes, evidence = carving.carve_votes(
-            jnp.asarray(origins), pts_all, jnp.asarray(mask), lo, hi,
-            resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,
-        )
-        field = carving.mrf_relax(
-            votes, evidence, lambda_smooth=ccfg.lambda_smooth,
-            iterations=ccfg.mrf_iterations,
-            free_threshold=ccfg.free_vote_threshold,
-        )
-        ev_dil = carving.dilate_evidence(evidence, radius=ccfg.evidence_dilation)
-        fx, fy, fz = carving.boundary_faces(field, ev_dil)
-
-        self.field = np.asarray(field)
-        self._extract_surface_nets(
-            np.asarray(fx), np.asarray(fy), np.asarray(fz),
-            np.asarray(field), np.asarray(lo), np.asarray(hi),
-        )
+        self.vertices, self.faces, self.field = out
         self.n_meshes += 1
-
-    # ------------------------------------------------------------------
-    def _extract_surface_nets(self, fx, fy, fz, field, lo, hi):
-        """Vectorized boundary-face mesh: one quad (two triangles) per voxel
-        face on the free/occupied interface, vertices on the corner lattice
-        (dedup via np.unique).
-
-        Watertight on the interface — the voxel analog of the reference's
-        "facets between kept and carved tets"
-        (``tetsToTris_maxFlowSimple`` ``.cc:1617-1655``).
-        """
-        R = field.shape[0]
-        scale = (hi - lo) / R
-
-        quads = []  # [F,4,3] corner lattice indices
-        for ax, fgrid in ((0, fx), (1, fy), (2, fz)):
-            cells = np.argwhere(fgrid)              # [F,3]
-            if cells.size == 0:
-                continue
-            t1 = (ax + 1) % 3
-            t2 = (ax + 2) % 3
-            e_a = np.eye(3, dtype=np.int64)[ax]
-            e1 = np.eye(3, dtype=np.int64)[t1]
-            e2 = np.eye(3, dtype=np.int64)[t2]
-            base = cells + e_a                      # face plane corner origin
-            q = np.stack(
-                [base, base + e1, base + e1 + e2, base + e2], axis=1
-            )
-            quads.append(q)
-
-        if not quads:
-            self.vertices = np.zeros((0, 3), np.float32)
-            self.faces = np.zeros((0, 3), np.int64)
-            return
-        q = np.concatenate(quads)                   # [F,4,3]
-        corners = q.reshape(-1, 3)
-        uniq, inv = np.unique(corners, axis=0, return_inverse=True)
-        fidx = inv.reshape(-1, 4)                   # [F,4]
-        self.vertices = (uniq.astype(np.float32) * scale + lo).astype(np.float32)
-        self.faces = np.concatenate(
-            [fidx[:, [0, 1, 2]], fidx[:, [0, 2, 3]]], axis=0
-        ).astype(np.int64)
 
     # ------------------------------------------------------------------
     def save_obj(self, path: str):
@@ -327,37 +340,8 @@ class Carver:
     def write_transcript(self, path: str):
         """Serialize the event journal in the reference transcript dialect
         (``SFMTranscriptInterface_ORBSLAM.cpp:154-316`` command vocabulary) so
-        reconstructions are replayable/checkpointable."""
-        with open(path, "w") as f:
-            for ev in self.host.journal:
-                if ev.kind == "reset":
-                    f.write("reset\n")
-                elif ev.kind == "keyframe":
-                    c = ev.cam_center
-                    f.write(f"new cam: [{c[0]:.6f}; {c[1]:.6f}; {c[2]:.6f}] {{\n")
-                    if ev.new_points is not None:
-                        for pid, p in zip(ev.new_point_ids, ev.new_points):
-                            f.write(
-                                f" new point: {pid} [{p[0]:.6f}; {p[1]:.6f}; {p[2]:.6f}]\n"
-                            )
-                    if ev.vis_ids is not None:
-                        ids = " ".join(str(int(i)) for i in ev.vis_ids)
-                        f.write(f" vis-list: {ids}\n")
-                    f.write("}\n")
-                elif ev.kind == "del_point":
-                    f.write(f"del point: {ev.point_id}\n")
-                elif ev.kind == "del_obs":
-                    f.write(f"del observation: {ev.kf}, {ev.point_id}\n")
-                elif ev.kind == "adjust":
-                    f.write("bundle {\n")
-                    if ev.moved_ids is not None:
-                        for pid, p in zip(ev.moved_ids, ev.moved_xyz):
-                            f.write(
-                                f" move point: {pid} [{p[0]:.6f}; {p[1]:.6f}; {p[2]:.6f}]\n"
-                            )
-                    if ev.moved_kfs is not None:
-                        for k, c in zip(ev.moved_kfs, ev.moved_centers):
-                            f.write(
-                                f" move cam: {k} [{c[0]:.6f}; {c[1]:.6f}; {c[2]:.6f}]\n"
-                            )
-                    f.write("}\n")
+        reconstructions are replayable/checkpointable — the loader lives in
+        models/transcript.py (parse_transcript + replay_mesh)."""
+        from orb_slam_free_space_carving_tpu.models import transcript
+
+        transcript.write_transcript(self.host.journal, path)
