@@ -134,6 +134,13 @@ class TrackingConfig:
     local_map_max_keyframes: int = 80      # covisibility expansion cap (:1293)
     kf_min_ratio_refkf: float = 0.9        # c2: matches < 0.9*ref (:1052-1060)
     reloc_max_candidates: int = 8
+    # Per-frame scalar decisions (tracking health + keyframe policy) are read
+    # back from the device in batches of this many frames: the TPU tunnel puts
+    # a ~25ms latency floor on EVERY device->host sync (scripts/probe_floor*),
+    # so the hot loop amortizes one sync over the batch.  Decisions lag by at
+    # most decision_batch-1 frames (the reference reads them inline on CPU;
+    # bounded staleness is the TPU-idiomatic equivalent).
+    decision_batch: int = 6
 
 
 @dataclass(frozen=True)
