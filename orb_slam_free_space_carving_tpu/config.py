@@ -163,8 +163,10 @@ class LoopConfig:
     min_bow_matches: int = 20              # per-candidate SearchByBoW gate (:281)
     min_sim3_inliers: int = 20             # OptimizeSim3 accept (:330)
     min_total_matches: int = 40            # final guided-projection accept (:394)
-    sim3_ransac_iterations: int = 5        # per-round iterate(5) (:300)
-    sim3_ransac_max_iterations: int = 300
+    # The reference iterates Sim3 RANSAC in 5-hypothesis rounds up to 300
+    # total (Sim3Solver::iterate :140-224); the batched TPU RANSAC evaluates
+    # every hypothesis in one dispatch, so only the total budget survives.
+    sim3_ransac_max_iterations: int = 300  # hypothesis batch (ops/horn.py)
     vocab_words: int = 4096                # TPU BoW vocabulary size (replaces 1M DBoW2 tree)
     vocab_seed: int = 7
     min_score_ratio: float = 0.75          # accScore >= 0.75*best (KeyFrameDatabase.cc:183)
@@ -189,8 +191,8 @@ class OptimizerConfig:
     gba_iterations_loop: int = 10
     gba_iterations_init: int = 20
     sim3_opt_iterations: int = 5   # OptimizeSim3 runs 5 then 10 more (:1203-1228)
-    lm_lambda_init: float = 1e-3
-    lm_lambda_factor: float = 10.0
+    lm_lambda_init: float = 1e-4   # initial LM damping (ops/ba.py solvers)
+    lm_lambda_factor: float = 2.0  # accept: lam/=f; reject: lam*=f^2
     essential_graph_min_feat: int = 100  # strong covisibility edges (Optimizer.cc:819)
 
 
@@ -217,7 +219,9 @@ class CarvingConfig:
     free_vote_threshold: float = 0.5   # vote>0 in reference; soft for voxels
     mesh_interval_s: float = 5.0       # isosurface recompute throttle
     mrf_iterations: int = 32           # parallel min-cut relaxation sweeps
-    constraint_k: int = 1              # K=1 spatial-cover forgetting heuristic
+    # (The reference's K=1 constraint-forgetting heuristic,
+    # FreespaceDelaunayAlgorithm.h:57, has no analog here: the voxel recast
+    # accumulates votes instead of per-tet constraint lists.)
     max_rays_per_kf: int = 1024
     use_delaunay_oracle: bool = False  # host scipy Delaunay + batched tet voting
 
@@ -238,7 +242,6 @@ class CapacityConfig:
     local_ba_fixed: int = 8            # fixed anchor KFs
     local_ba_points: int = 8192
     local_ba_obs: int = 16384
-    reloc_candidates: int = 8
     loop_candidates: int = 8
     gba_obs: int = 65536               # full-map BA observation rows (CG-Schur)
     loop_points: int = 2048            # loop-neighborhood point set (SearchByProjection Scw)

@@ -141,6 +141,7 @@ class Carver:
         self.mesh_every_kfs = mesh_every_kfs
         self._kfs_since_mesh = 0
         self._n_kf_seen = 0
+        self._last_mesh_ts = None
         self.vertices: Optional[np.ndarray] = None   # [V,3]
         self.faces: Optional[np.ndarray] = None      # [F,3] int (triangles)
         self.field: Optional[np.ndarray] = None
@@ -156,14 +157,29 @@ class Carver:
 
     # ------------------------------------------------------------------
     def poll(self):
-        """Called per frame (Modeler::Run cadence); meshes on KF throttle."""
+        """Called per frame (Modeler::Run cadence).
+
+        Meshes when enough keyframes accumulated OR enough SEQUENCE time
+        passed since the last mesh (``mesh_interval_s``, the reference's
+        >=5 s isosurface recompute throttle,
+        ``SFMTranscriptInterface_Delaunay.cpp:404``) — sequence timestamps,
+        not wall clock, so deterministic runs stay reproducible."""
         n_kf = int(self.host.kf_valid.sum())
         if n_kf > self._n_kf_seen:
             self._kfs_since_mesh += n_kf - self._n_kf_seen
             self._n_kf_seen = n_kf
-        if self._kfs_since_mesh >= self.mesh_every_kfs and n_kf >= 2:
+        if self._kfs_since_mesh <= 0 or n_kf < 2:
+            return
+        newest_ts = float(self.host.kf_timestamp[self.host.kf_valid].max())
+        if self._last_mesh_ts is None:
+            self._last_mesh_ts = newest_ts
+        due_kfs = self._kfs_since_mesh >= self.mesh_every_kfs
+        due_time = (newest_ts - self._last_mesh_ts
+                    >= self.cfg.carving.mesh_interval_s)
+        if due_kfs or due_time:
             self.update_mesh()
             self._kfs_since_mesh = 0
+            self._last_mesh_ts = newest_ts
 
     def finalize(self):
         if int(self.host.kf_valid.sum()) >= 2:

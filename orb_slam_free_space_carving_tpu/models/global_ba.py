@@ -36,20 +36,30 @@ from orb_slam_free_space_carving_tpu.ops import ba
 from orb_slam_free_space_carving_tpu.utils import camera, lie
 
 
-def build_global_problem(cfg: SystemConfig, m: ms.MapArrays, host: ms.MapHost,
-                         fix_kf: Optional[int] = 0) -> tuple:
+def build_global_problem(cfg: SystemConfig, m: ms.MapArrays,
+                         host: Optional[ms.MapHost] = None,
+                         fix_kf: Optional[int] = 0,
+                         kf_valid: Optional[np.ndarray] = None,
+                         obs_pt: Optional[np.ndarray] = None) -> tuple:
     """Assemble the full-map BAProblem from the host observation table.
 
     Returns (problem, (obs_kf, obs_feat) source indices for outlier erasure).
     Observation rows beyond ``capacity.gba_obs`` are dropped with a warning
     counter (no silent truncation) — the cap is sized to hold every
     observation at the default capacities.
+
+    ``kf_valid``/``obs_pt`` overrides let the detached GBA solve from a host
+    SNAPSHOT while mapping keeps mutating the live registry
+    (LoopClosing.cc:644-761 runs GBA on its own thread the same way).
     """
     K = cfg.capacity.max_keyframes
     O = cfg.capacity.gba_obs
-    kf_valid = host.kf_valid[:K]
+    if kf_valid is None:
+        kf_valid = host.kf_valid[:K]
+    if obs_pt is None:
+        obs_pt = host.obs_pt[:K]
 
-    rows = host.obs_pt[:K]                        # [K,N] feature -> point id
+    rows = obs_pt[:K]                             # [K,N] feature -> point id
     valid_rows = rows >= 0
     valid_rows &= kf_valid[:, None]
     ki, fi = np.where(valid_rows)
@@ -116,16 +126,43 @@ class GlobalBA:
 
     def run(self, m: ms.MapArrays, host: ms.MapHost, intr,
             iterations: Optional[int] = None) -> ms.MapArrays:
-        """Solve full-map BA and write corrected poses/points back.
+        """Synchronous solve + writeback (deterministic pipeline path)."""
+        snap = self.snapshot(m, host)
+        solved = self.solve(snap, intr, iterations)
+        if solved is None:
+            return m
+        out = self.writeback(m, host, solved)
+        return m if out is None else out
+
+    # -- detached-GBA building blocks (LoopClosing.cc:644-761 thread P4) ---
+
+    def snapshot(self, m: ms.MapArrays, host: ms.MapHost) -> dict:
+        """Freeze the state the solve will run from (worker thread).  ``m``
+        is an immutable pytree; only the mutable host tables need copying."""
+        K = self.cfg.capacity.max_keyframes
+        return {
+            "m": m,
+            "gen": self.generation,
+            "kf_valid": host.kf_valid[:K].copy(),
+            "obs_pt": host.obs_pt[:K].copy(),
+            "pt_valid": host.pt_valid.copy(),
+        }
+
+    def solve(self, snap: dict, intr, iterations: Optional[int] = None):
+        """Pure solve from a snapshot (safe on the detached GBA worker).
 
         Sharded over the observation axis when multiple devices are present
         (the distributed GBA row of SURVEY section 2.4)."""
-        gen = self.generation
         it = iterations or self.cfg.optimizer.gba_iterations_loop
-        prob, (ki, fi, n_obs, dropped) = build_global_problem(self.cfg, m, host)
+        prob, (ki, fi, n_obs, dropped) = build_global_problem(
+            self.cfg, snap["m"], kf_valid=snap["kf_valid"],
+            obs_pt=snap["obs_pt"],
+        )
         self.last_dropped_obs = dropped
         if n_obs < 100:
-            return m
+            return None
+        if snap["gen"] != self.generation:
+            return None                       # superseded before starting
 
         if len(jax.devices()) > 1:
             from orb_slam_free_space_carving_tpu.parallel import sharded
@@ -133,30 +170,96 @@ class GlobalBA:
             mesh = sharded.make_mesh()
             res = sharded.ba_solve_sharded(prob, intr, mesh, iterations=it)
         else:
-            res = _gba_jit(prob, intr, it)
-
-        if gen != self.generation:
-            # Superseded by a newer loop while solving: discard (LoopClosing.cc:661).
-            return m
-
+            res = _gba_jit(prob, intr, it,
+                           lm_lambda0=self.cfg.optimizer.lm_lambda_init,
+                           lm_lambda_factor=self.cfg.optimizer.lm_lambda_factor)
+        # Materialize on the GBA worker (the expensive sync happens HERE, not
+        # on the map worker).
         new_poses, new_pts, cost = jax.device_get(
             (res.cam_poses, res.points, res.cost)
         )
-        self.last_cost = float(cost)
+        return {"snap": snap, "poses": new_poses, "points": new_pts,
+                "cost": float(cost)}
+
+    def writeback(self, m: ms.MapArrays, host: ms.MapHost, solved: dict
+                  ) -> Optional[ms.MapArrays]:
+        """Apply a finished solve to the CURRENT map (map-worker thread).
+
+        Keyframes/points created while GBA ran are corrected through the
+        spanning tree / their reference keyframe — the reference's
+        post-GBA propagation (``LoopClosing.cc:680-749``).  Returns None if
+        the solve was superseded by a newer loop (``mnFullBAIdx`` check,
+        ``:661``)."""
+        snap = solved["snap"]
+        if snap["gen"] != self.generation:
+            return None                       # superseded: discard
+        self.last_cost = solved["cost"]
         self.n_runs += 1
 
-        kf_valid = jnp.asarray(host.kf_valid[: self.cfg.capacity.max_keyframes])
+        K = self.cfg.capacity.max_keyframes
+        cur_valid = host.kf_valid[:K]
+        snap_valid = snap["kf_valid"]
+        cur_poses = np.asarray(m.kf_pose)
+        new_poses = cur_poses.copy()
+        new_poses[snap_valid] = solved["poses"][snap_valid]
+
+        # Keyframes created during the solve: preserve their relative pose to
+        # the (spanning-tree) parent: T_new = (T_cur T_parent_cur^-1) T_parent_new.
+        fresh = np.where(cur_valid & ~snap_valid)[0]
+        fresh = fresh[np.argsort(host.kf_frame_id[fresh])]
+        done = snap_valid.copy()
+        for _ in range(3):                    # parent chains resolve in order
+            progressed = False
+            for k in fresh:
+                if done[k]:
+                    continue
+                p = host.parent[k]
+                if p < 0 or not cur_valid[p] or not done[p]:
+                    continue
+                t_rel = lie.se3_compose(
+                    jnp.asarray(cur_poses[k]),
+                    lie.se3_inverse(jnp.asarray(cur_poses[p])))
+                new_poses[k] = np.asarray(
+                    lie.se3_compose(t_rel, jnp.asarray(new_poses[p])))
+                done[k] = True
+                progressed = True
+            if not progressed:
+                break
+
+        cur_pt_valid = np.asarray(m.pt_valid)
+        new_pts = np.asarray(m.pt_xyz).copy()
+        in_gba = snap["pt_valid"] & cur_pt_valid
+        new_pts[in_gba] = solved["points"][in_gba]
+        # Points created during the solve: correct via their reference KF
+        # (x_new = T_ref_new^-1 (T_ref_cur (x))), LoopClosing.cc:709-749.
+        fresh_pt = np.where(cur_pt_valid & ~snap["pt_valid"])[0]
+        if fresh_pt.size:
+            ref = np.asarray(m.pt_ref_kf)[fresh_pt]
+            ok = done[ref.clip(0, K - 1)]
+            fp = fresh_pt[ok]
+            if fp.size:
+                refk = ref[ok]
+                x_cam = lie.se3_apply(
+                    jnp.asarray(cur_poses[refk]), jnp.asarray(new_pts[fp]))
+                x_new = lie.se3_apply(
+                    jax.vmap(lie.se3_inverse)(jnp.asarray(new_poses[refk])),
+                    x_cam)
+                new_pts[fp] = np.asarray(x_new)
+
         m = m._replace(
-            kf_pose=jnp.where(kf_valid[:, None], res.cam_poses, m.kf_pose),
-            pt_xyz=jnp.where(m.pt_valid[:, None], res.points, m.pt_xyz),
+            kf_pose=jnp.where(jnp.asarray(cur_valid)[:, None],
+                              jnp.asarray(new_poses), m.kf_pose),
+            pt_xyz=jnp.where(m.pt_valid[:, None],
+                             jnp.asarray(new_pts), m.pt_xyz),
         )
         m = ms.update_point_stats(
             m, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels, refresh_desc=True,
+            medoid_cap=self.cfg.capacity.max_obs_per_point,
         )
 
         # CARV adjustment event: every camera + point moved (LoopClosing.cc:735-749).
-        kfs = np.where(host.kf_valid)[0]
+        kfs = np.where(cur_valid)[0]
         pt_valid = np.asarray(m.pt_valid)
         pids = np.where(pt_valid)[0]
         centers = np.asarray(lie.se3_inverse(m.kf_pose))[:, 4:7]
@@ -170,5 +273,8 @@ class GlobalBA:
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
-def _gba_jit(prob, intr, iterations):
-    return ba.ba_solve_cg(prob, intr, iterations=iterations, cg_iterations=30)
+def _gba_jit(prob, intr, iterations, lm_lambda0=1e-4,
+             lm_lambda_factor=2.0):
+    return ba.ba_solve_cg(prob, intr, iterations=iterations, cg_iterations=30,
+                          lm_lambda0=lm_lambda0,
+                          lm_lambda_factor=lm_lambda_factor)

@@ -157,14 +157,16 @@ def _fuse_project(pose_kf, pt_xyz, pt_desc, pt_valid, pt_maxdist, pt_normal,
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def _local_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
               obs_uv, obs_is2, obs_mask, intr, iterations, obs_ur=None,
-              bf=0.0):
+              bf=0.0, lm_lambda0=1e-4, lm_lambda_factor=2.0):
     prob = ba.BAProblem(
         cam_poses=cam_poses, cam_free=cam_free, points=points,
         point_valid=point_valid, obs_cam=obs_cam, obs_point=obs_point,
         obs_uv=obs_uv, obs_inv_sigma2=obs_is2, obs_mask=obs_mask,
         obs_ur=obs_ur,
     )
-    return ba.ba_solve(prob, intr, iterations=iterations, bf=bf)
+    return ba.ba_solve(prob, intr, iterations=iterations, bf=bf,
+                       lm_lambda0=lm_lambda0,
+                       lm_lambda_factor=lm_lambda_factor)
 
 
 # ---------------------------------------------------------------------------
@@ -541,6 +543,8 @@ class LocalMapper:
             self.cfg.optimizer.local_ba_iterations_a
             + self.cfg.optimizer.local_ba_iterations_b,
             obs_ur=obs_ur, bf=self.cfg.camera.bf,
+            lm_lambda0=self.cfg.optimizer.lm_lambda_init,
+            lm_lambda_factor=self.cfg.optimizer.lm_lambda_factor,
         )
         # One batched pull (single sync): poses, points, chi2, camera centers.
         new_poses_np, new_pts_np, chi2_all, new_centers = jax.device_get((
@@ -607,6 +611,7 @@ class LocalMapper:
         self.m = ms.update_point_stats(
             self.m, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels, refresh_desc=True,
+            medoid_cap=self.cfg.capacity.max_obs_per_point,
         )
 
         # CARV adjustment event (moved cams + moved points).

@@ -47,6 +47,12 @@ class System:
         self.runner = StageRunner(
             deterministic=cfg.deterministic or sensor != MONOCULAR
         )
+        # Detached global-BA worker (reference thread P4, LoopClosing.cc:644):
+        # GBA solves concurrently with keyframe processing; writebacks rejoin
+        # the map worker's queue.
+        self.gba_runner = StageRunner(
+            deterministic=self.runner.deterministic, name="gba"
+        )
 
         self.carver = None
         if enable_carving:
@@ -72,6 +78,9 @@ class System:
         self.local_mapper.runner = self.runner
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
+            self.loop_closer.runner = self.runner
+            self.loop_closer.gba_runner = self.gba_runner
+            self.loop_closer.on_map_jump = self.tracker._on_map_jump
         self.localization_only = False
         self._prev_img = None
         self._prev_tex_kf = -1
@@ -151,9 +160,18 @@ class System:
         self.localization_only = False
         self.tracker.local_mapper = self.local_mapper
 
+    def _flush_pipeline(self):
+        """Drain both workers (they enqueue onto each other: keyframe items
+        can spawn a GBA solve, whose writeback rejoins the map worker)."""
+        for _ in range(4):
+            self.runner.flush()
+            self.gba_runner.flush()
+            if self.runner.is_idle() and self.gba_runner.is_idle():
+                break
+
     def reset(self):
         """System::Reset cascade (Tracking.cc:1514-1561)."""
-        self.runner.flush()
+        self._flush_pipeline()
         if self.carver is not None:
             self.carver.on_reset()
         self.map_host = ms.MapHost(self.cfg)
@@ -165,9 +183,9 @@ class System:
         self.tracker.last_frame = None
         self.tracker.velocity = None
         self.tracker._velocity_dev = None
-        self.tracker._pending = None
+        self.tracker._pending = []
         self.tracker._force_slow = False
-        self.tracker._stale_pending = False
+        self.tracker._stale_pending = 0
         self.tracker._ref_kf_frame = None
         self.tracker._map_jump_kf = -1
         self.tracker._local_ids_np[:] = 0
@@ -185,10 +203,11 @@ class System:
         """Flush async stages + lagged decisions; finalize the carving mesh
         (System::Shutdown joins the stage threads, System.cc:324-344)."""
         self.tracker._flush_pending()
-        self.runner.flush()
+        self._flush_pipeline()
         self.tracker.finalize_trajectory()
         if self.carver is not None:
             self.carver.finalize()
+        self.gba_runner.shutdown()
         self.runner.shutdown()
 
     # ------------------------------------------------------------------
@@ -260,6 +279,8 @@ class System:
             host_kf_timestamp=host.kf_timestamp, host_obs_pt=host.obs_pt,
             host_pt_valid=host.pt_valid, host_covis=host.covis,
             host_parent=host.parent, host_n_kf_slots=np.int64(host.n_kf_slots),
+            host_kf_seq=host.kf_seq,
+            host_n_kf_created=np.int64(host.n_kf_created),
             loop_edges_i=np.array(
                 [i for i, js in host.loop_edges.items() for _ in js], np.int64),
             loop_edges_j=np.array(
@@ -289,6 +310,14 @@ class System:
         host.covis = data["host_covis"]
         host.parent = data["host_parent"]
         host.n_kf_slots = int(data["host_n_kf_slots"])
+        if "host_kf_seq" in data:
+            host.kf_seq = data["host_kf_seq"]
+            host.n_kf_created = int(data["host_n_kf_created"])
+        else:                          # older snapshots: synthesize by frame id
+            order = np.argsort(host.kf_frame_id)
+            host.kf_seq = np.full_like(host.kf_frame_id, -1)
+            host.kf_seq[order] = np.arange(len(order))
+            host.n_kf_created = int(host.kf_valid.sum())
         host.pt_free = [
             int(i) for i in np.where(~host.pt_valid)[0][::-1]
         ]

@@ -45,6 +45,16 @@ LOST = 3
 LOCAL_POINTS_CAP = 2048
 
 
+def _pose_opt_kw(opt_cfg):
+    """OptimizerConfig -> optimize_pose kwargs (pose_rounds/pose_iterations/
+    chi2 lore flow from config; reference Optimizer.cc:369-371)."""
+    if opt_cfg is None:
+        return {}
+    return dict(chi2_th=opt_cfg.chi2_mono, rounds=opt_cfg.pose_rounds,
+                iterations=opt_cfg.pose_iterations,
+                chi2_th_stereo=opt_cfg.chi2_stereo)
+
+
 # ---------------------------------------------------------------------------
 # Jitted steps
 # ---------------------------------------------------------------------------
@@ -61,9 +71,10 @@ def _init_two_view(uv1, uv2, mask, intr, key, n_samples=256):
     return twoview.initialize_two_view(uv1, uv2, mask, intr, key, n_samples=n_samples)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("opt_cfg",))
 def _track_motion_step(pose_pred, pt_xyz, pt_desc, pt_octave, pt_mask, frame_feat,
-                       frame_inv_sigma2, intr, radius, scale_factor, wh):
+                       frame_inv_sigma2, intr, radius, scale_factor, wh,
+                       opt_cfg=None):
     """Project candidate points, window-match, pose-optimize.
 
     Returns (pose, feat->point match idx [N], n_inliers).
@@ -82,7 +93,8 @@ def _track_motion_step(pose_pred, pt_xyz, pt_desc, pt_octave, pt_mask, frame_fea
     obs_uv = frame_feat.uv_und[sel_feat]
     obs_is2 = frame_inv_sigma2[sel_feat]
     res = pose_opt.optimize_pose(
-        pose_pred, pt_xyz, obs_uv, obs_is2, matched, intr
+        pose_pred, pt_xyz, obs_uv, obs_is2, matched, intr,
+        **_pose_opt_kw(opt_cfg),
     )
     return res.pose, idx, res.inliers, res.n_inliers
 
@@ -116,9 +128,10 @@ def _track_localmap_step(pose, pt_xyz, pt_desc, pt_mask, pt_maxdist, pt_normal,
     return jnp.where(can_bind, idx, -1), vis
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("opt_cfg",))
 def _pose_opt_from_bindings(pose, track_pt, pt_xyz_all, frame_feat,
-                            frame_inv_sigma2, intr, frame_ur=None, bf=0.0):
+                            frame_inv_sigma2, intr, frame_ur=None, bf=0.0,
+                            opt_cfg=None):
     """Final pose optimization over every feature->point binding of the frame.
 
     ``frame_ur`` (stereo/RGB-D frames) adds the uR residual rows with the
@@ -128,7 +141,7 @@ def _pose_opt_from_bindings(pose, track_pt, pt_xyz_all, frame_feat,
     pts = pt_xyz_all[sel_pt]
     res = pose_opt.optimize_pose(
         pose, pts, frame_feat.uv_und, frame_inv_sigma2, bound, intr,
-        ur_obs=frame_ur, bf=bf,
+        ur_obs=frame_ur, bf=bf, **_pose_opt_kw(opt_cfg),
     )
     return res.pose, res.inliers, res.n_inliers
 
@@ -148,25 +161,28 @@ def _counter_update(ctr_visible, ctr_found, visible_ids, vis_mask,
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
-                obs_uv, obs_is2, obs_mask, intr, iterations=20):
+                obs_uv, obs_is2, obs_mask, intr, iterations=20,
+                lm_lambda0=1e-4, lm_lambda_factor=2.0):
     prob = ba.BAProblem(
         cam_poses=cam_poses, cam_free=cam_free, points=points,
         point_valid=point_valid, obs_cam=obs_cam, obs_point=obs_point,
         obs_uv=obs_uv, obs_inv_sigma2=obs_is2, obs_mask=obs_mask,
     )
-    return ba.ba_solve(prob, intr, iterations=iterations)
+    return ba.ba_solve(prob, intr, iterations=iterations,
+                       lm_lambda0=lm_lambda0,
+                       lm_lambda_factor=lm_lambda_factor)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("orb_cfg", "scale_factor", "n_levels", "wh",
-                     "radius_motion", "has_distortion"),
+                     "radius_motion", "has_distortion", "opt_cfg"),
 )
 def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
                       last_octave, local_ids, local_mask, intr,
                       inv_sigma2_by_level, pt_visible, pt_found,
                       orb_cfg, scale_factor, n_levels,
-                      wh, radius_motion, has_distortion):
+                      wh, radius_motion, has_distortion, opt_cfg=None):
     """ONE dispatch for the whole per-frame hot path (SURVEY.md section 3.2):
 
     extract ORB -> constant-velocity predict -> projection match vs the last
@@ -222,7 +238,7 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     sel_feat = jnp.clip(idx_m, 0, feat.capacity - 1)
     res1 = pose_opt.optimize_pose(
         pose_pred, pt_xyz, feat.uv_und[sel_feat], frame_is2[sel_feat],
-        matched_m, intr,
+        matched_m, intr, **_pose_opt_kw(opt_cfg),
     )
     pose = res1.pose
 
@@ -269,6 +285,7 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     sel_pt = jnp.clip(track_pt, 0, M - 1)
     res2 = pose_opt.optimize_pose(
         pose, m.pt_xyz[sel_pt], feat.uv_und, frame_is2, bound2, intr,
+        **_pose_opt_kw(opt_cfg),
     )
     pose = res2.pose
     track_pt = jnp.where(res2.inliers | ~bound2, track_pt, -1)
@@ -295,6 +312,7 @@ class Tracker:
                  local_mapper=None, relocalizer=None, runner=None):
         self.cfg = cfg
         self.builder = FrameBuilder(cfg)
+        self._init_builder = None      # 2x-budget builder, built on demand
         self.intr = camera.intrinsics_array(cfg.camera)
         self.wh = (cfg.camera.width, cfg.camera.height)
         self._map_ref = map_arrays_ref      # single-element list (shared cell)
@@ -314,13 +332,15 @@ class Tracker:
         self.frame_idx = -1
         self.trajectory = []                 # (timestamp, pose7 np-or-device, state)
         self.n_tracked = 0
-        # Lagged fast-path decision state: the per-frame inlier count is read
-        # one frame late so the device->host transfer overlaps the next
-        # frame's work instead of stalling the pipeline (~26 ms RTT through
-        # the TPU tunnel).  (frame, track_pt, n_inl, timestamp, frame_idx)
-        self._pending = None
+        # Lagged fast-path decision state: per-frame inlier counts are read
+        # back up to ``decision_batch-1`` frames late so one device->host
+        # sync amortizes over the batch (the TPU tunnel has a variable
+        # 0-30 ms RTT floor per sync, scripts/probe_floor*).  Entries:
+        # (frame, track_pt, n_inl, timestamp, frame_idx).
+        self._pending: list = []
+        self._decision_batch = max(1, cfg.tracking.decision_batch)
         self._force_slow = False
-        self._stale_pending = False
+        self._stale_pending = 0
         # Async stage runtime (None or a StageRunner; deterministic = inline).
         self.runner = runner
         self._ref_kf_frame: Optional[FrameData] = None
@@ -356,12 +376,15 @@ class Tracker:
         numpy on demand; the trajectory is materialized in one batched
         transfer by :meth:`finalize_trajectory`."""
         self.frame_idx += 1
+        # Apply any point-replacement counter merges queued by the worker
+        # (tracker = single writer of host.ctr_*; see MapHost.queue_ctr_merge).
+        self.host.drain_ctr_merges()
 
         if self._map_jump_kf >= 0:
             # The worker closed a loop / ran GBA: re-anchor on the corrected
             # keyframe pose and re-track via the slow path (see _on_map_jump).
             jump_kf, self._map_jump_kf = self._map_jump_kf, -1
-            self._pending = None            # computed against the old map
+            self._pending = []              # computed against the old map
             if self.last_frame is not None:
                 self.last_frame = self.last_frame._replace(
                     pose=self.m.kf_pose[jump_kf]
@@ -373,7 +396,7 @@ class Tracker:
         have_vel = self._velocity_dev is not None or self.velocity is not None
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self._flush_pending()
-            frame = self.builder(img)
+            frame = self._build_init_frame(img)
             self._monocular_initialization(frame, timestamp)
         elif (self.state == OK and have_vel
               and self._track_pt_dev is not None and not self._force_slow):
@@ -521,7 +544,7 @@ class Tracker:
             self.host.ctr_visible, self.host.ctr_found,
             self.cfg.orb, self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
             self.wh, self.cfg.matcher.search_radius_motion,
-            self.cfg.camera.has_distortion,
+            self.cfg.camera.has_distortion, opt_cfg=self.cfg.optimizer,
         )
         try:
             n_inl.copy_to_host_async()
@@ -537,10 +560,11 @@ class Tracker:
         self._track_pt_dev = track_pt
         self.last_frame = frame
 
-        prev = self._pending
-        self._pending = (frame, track_pt, n_inl, timestamp, self.frame_idx)
-        if prev is not None:
-            self._finalize_pending(prev)
+        self._pending.append(
+            (frame, track_pt, n_inl, timestamp, self.frame_idx)
+        )
+        while len(self._pending) >= self._decision_batch:
+            self._finalize_pending(self._pending.pop(0))
 
     def _finalize_pending(self, pending):
         """Apply the lagged per-frame decisions (tracking health + keyframe
@@ -557,8 +581,8 @@ class Tracker:
             self.last_track_pt = np.asarray(track_pt)
             return
         self.state = OK
-        if self._stale_pending:
-            self._stale_pending = False
+        if self._stale_pending > 0:
+            self._stale_pending -= 1
             return
         if self._need_new_keyframe(n):
             track_pt_np = np.asarray(track_pt)
@@ -569,9 +593,9 @@ class Tracker:
             self.frame_idx = saved_idx
 
     def _flush_pending(self):
-        if self._pending is not None:
-            prev, self._pending = self._pending, None
-            self._finalize_pending(prev)
+        pending, self._pending = self._pending, []
+        for item in pending:
+            self._finalize_pending(item)
         # Slow path needs the numpy velocity mirror.
         if self._velocity_dev is not None:
             self.velocity = np.asarray(self._velocity_dev)
@@ -610,6 +634,39 @@ class Tracker:
     # ------------------------------------------------------------------
     # Monocular initialization (Tracking.cc:572-746)
     # ------------------------------------------------------------------
+    def _build_init_frame(self, img) -> FrameData:
+        """Monocular bootstrap frames extract ``init_multiplier``x the feature
+        budget (reference builds a dedicated 2000-feature extractor for init,
+        ``src/Tracking.cc:122-123``); the created keyframes truncate back to
+        the runtime capacity in :meth:`_create_initial_map`."""
+        mult = max(1, self.cfg.orb.init_multiplier)
+        if mult == 1:
+            return self.builder(img)
+        if self._init_builder is None:
+            import dataclasses
+
+            orb2 = dataclasses.replace(
+                self.cfg.orb,
+                n_features=self.cfg.orb.n_features * mult,
+                n_features_pad=self.cfg.orb.n_features_pad * mult,
+            )
+            self._init_builder = FrameBuilder(self.cfg.replace(orb=orb2))
+        return self._init_builder(img)
+
+    @staticmethod
+    def _truncate_frame(frame: FrameData, n: int) -> FrameData:
+        """Slice a 2x init frame down to the runtime feature capacity (the
+        per-cell round-robin detection order means the first n features are
+        the spatially-uniform best n)."""
+        if frame.feat.capacity <= n:
+            return frame
+        feat = type(frame.feat)(*[a[:n] for a in frame.feat])
+        return frame._replace(
+            feat=feat, inv_sigma2=frame.inv_sigma2[:n],
+            u_right=None if frame.u_right is None else frame.u_right[:n],
+            depth=None if frame.depth is None else frame.depth[:n],
+        )
+
     def _monocular_initialization(self, frame: FrameData, timestamp: float):
         n_valid = int(jnp.sum(frame.feat.valid))
         if self.init_frame is None or self.state == NO_IMAGES_YET:
@@ -652,10 +709,22 @@ class Tracker:
     def _create_initial_map(self, frame, timestamp, idx_np, res: twoview.TwoViewResult):
         """CreateInitialMapMonocular (Tracking.cc:646-746): two keyframes, the
         triangulated inliers as points, 20-iteration BA, median-depth gauge fix."""
+        N0 = self.cfg.orb.n_features_pad
+        if frame.feat.capacity > N0:
+            # 2x init frames: keep the first N0 features of each (cell-rank
+            # order = best-first) and drop matches that reach past the cut.
+            idx_np = idx_np[:N0].copy()
+            idx_np[idx_np >= N0] = -1
+            res = res._replace(
+                inliers=res.inliers[:N0], points=res.points[:N0]
+            )
+            frame = self._truncate_frame(frame, N0)
+            self.init_frame = self._truncate_frame(self.init_frame, N0)
+
         inl = np.asarray(res.inliers) & (idx_np >= 0)
         n_pts = int(inl.sum())
         if n_pts < 50:
-            self.last_frame = frame
+            self.last_frame = self._truncate_frame(frame, N0)
             return
 
         pts = np.asarray(res.points)[inl]                   # [n,3]
@@ -751,7 +820,9 @@ class Tracker:
             jnp.asarray(pts_pad), jnp.asarray(ptv),
             jnp.asarray(obs_cam), jnp.asarray(obs_point),
             jnp.asarray(obs_uv), jnp.asarray(obs_is2), jnp.asarray(obs_mask),
-            self.intr,
+            self.intr, iterations=self.cfg.optimizer.gba_iterations_init,
+            lm_lambda0=self.cfg.optimizer.lm_lambda_init,
+            lm_lambda_factor=self.cfg.optimizer.lm_lambda_factor,
         )
         pose2_ba = bares.cam_poses[1]
         pts_ba = bares.points[:n_pts]
@@ -762,6 +833,7 @@ class Tracker:
         self.m = ms.update_point_stats(
             m, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
+            medoid_cap=self.cfg.capacity.max_obs_per_point,
         )
 
         self.host.update_covisibility(kf1)
@@ -875,7 +947,7 @@ class Tracker:
             pose_pred, pt_xyz, pt_desc, pt_octave, pt_valid,
             frame.feat, frame.inv_sigma2, self.intr,
             self.cfg.matcher.search_radius_motion, self.cfg.orb.scale_factor,
-            self.wh,
+            self.wh, opt_cfg=self.cfg.optimizer,
         )
         n = int(n_inl)
         idx_np = np.asarray(idx)
@@ -910,7 +982,7 @@ class Tracker:
             self.last_frame.pose, pt_xyz, pt_desc, pt_octave, pt_valid,
             frame.feat, frame.inv_sigma2, self.intr,
             self.cfg.matcher.search_radius_init, self.cfg.orb.scale_factor,
-            self.wh,
+            self.wh, opt_cfg=self.cfg.optimizer,
         )
         n = int(n_inl)
         idx_np = np.asarray(idx)
@@ -981,6 +1053,7 @@ class Tracker:
             frame.pose, jnp.asarray(track_pt), m.pt_xyz, frame.feat,
             frame.inv_sigma2, self.intr,
             frame_ur=frame.u_right, bf=self.cfg.camera.bf,
+            opt_cfg=self.cfg.optimizer,
         )
         inl_np = np.asarray(inliers)
         track_pt = np.where(inl_np | (track_pt < 0), track_pt, -1)
@@ -1121,7 +1194,7 @@ class Tracker:
         self._force_slow = True
         # Any in-flight fast-path frame was computed against the
         # pre-correction map; its pose must not seed a keyframe.
-        self._stale_pending = True
+        self._stale_pending = len(self._pending)
 
     def _merge_local_ids(self, track_pt: np.ndarray):
         """Union the new keyframe's tracked points into the local point

@@ -185,6 +185,7 @@ def ba_solve(
     chi2_th: float = 5.991,
     robust: bool = True,
     lm_lambda0: float = 1e-4,
+    lm_lambda_factor: float = 2.0,
     bf: float = 0.0,
     chi2_th_stereo: float = 7.815,
 ) -> BAResult:
@@ -263,7 +264,8 @@ def ba_solve(
         accept = new_cost < cost
         cam_poses = jnp.where(accept, new_poses, cam_poses)
         points = jnp.where(accept, new_points, points)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.where(accept, lam / lm_lambda_factor,
+                        lam * lm_lambda_factor * lm_lambda_factor)
         lam = jnp.clip(lam, 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
         return cam_poses, points, lam, cost
@@ -318,6 +320,7 @@ def ba_solve_cg(
     chi2_th: float = 5.991,
     robust: bool = True,
     lm_lambda0: float = 1e-4,
+    lm_lambda_factor: float = 2.0,
     bf: float = 0.0,
     chi2_th_stereo: float = 7.815,
 ) -> BAResult:
@@ -406,7 +409,9 @@ def ba_solve_cg(
         accept = new_cost < cost
         cam_poses = jnp.where(accept, new_poses, cam_poses)
         points = jnp.where(accept, new_points, points)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        lam = jnp.clip(jnp.where(
+            accept, lam / lm_lambda_factor,
+            lam * lm_lambda_factor * lm_lambda_factor), 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
         return cam_poses, points, lam, cost
 

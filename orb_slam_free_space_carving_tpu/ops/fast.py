@@ -46,44 +46,43 @@ def _shifted_stack(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Dense FAST-9 response map [H, W] (0 where not a corner).
+def _circ_window_min9(x: jnp.ndarray) -> jnp.ndarray:
+    """Sliding circular-window minimum, window 9, along axis 0 (length 16).
 
-    Score = max over qualifying contiguous 9-arcs of the summed absolute
-    difference beyond threshold — a monotone stand-in for OpenCV's
-    max-threshold score, adequate for NMS/top-k ordering.
+    Log-step composition: 4 roll+min passes instead of 8 sequential ones.
+    out[i] = min(x[i..i+8 mod 16]).
     """
-    circle = _shifted_stack(img)  # [16,H,W]
-    diff = circle - img[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
+    w2 = jnp.minimum(x, jnp.roll(x, -1, axis=0))
+    w4 = jnp.minimum(w2, jnp.roll(w2, -2, axis=0))
+    w8 = jnp.minimum(w4, jnp.roll(w4, -4, axis=0))
+    return jnp.minimum(w8, jnp.roll(x, -8, axis=0))
 
-    def arc_all(mask):
-        # arc9[i] = AND of mask[i..i+8 (mod 16)]  -> [16,H,W]
-        acc = mask
-        rolled = mask
-        for _ in range(ARC_LENGTH - 1):
-            rolled = jnp.roll(rolled, shift=-1, axis=0)
-            acc = acc & rolled
-        return acc
 
-    arc_b = arc_all(brighter)
-    arc_d = arc_all(darker)
+def fast_corner_score(img: jnp.ndarray) -> jnp.ndarray:
+    """Threshold-free FAST-9 score map [H, W] (int16).
 
-    excess = jnp.abs(diff) - threshold
+    score(p) = max over contiguous 9-arcs of min over the arc of the one-sided
+    center difference — i.e. the LARGEST threshold t for which p is still a
+    FAST-9 corner.  This is exactly OpenCV's nonmax-suppression score
+    semantics (the reference consumes cv::FAST scores,
+    ``src/ORBextractor.cc:769-829``), and one map serves every threshold:
+    ``score > t``  <=>  "p is a corner at threshold t".
+    """
+    img16 = img.astype(jnp.int16)
+    circle = _shifted_stack(img16)          # [16,H,W] i16
+    diff = circle - img16[None]
+    v_b = jnp.max(_circ_window_min9(diff), axis=0)    # brighter side
+    v_d = jnp.max(_circ_window_min9(-diff), axis=0)   # darker side
+    return jnp.maximum(v_b, v_d)
 
-    def arc_sum(mask_arc, excess_map):
-        # For each start i, sum of excess over the 9-arc; keep only valid arcs.
-        acc = excess_map
-        rolled = excess_map
-        for _ in range(ARC_LENGTH - 1):
-            rolled = jnp.roll(rolled, shift=-1, axis=0)
-            acc = acc + rolled
-        return jnp.where(mask_arc, acc, 0.0)
 
-    score_b = jnp.max(arc_sum(arc_b, jnp.where(brighter, excess, 0.0)), axis=0)
-    score_d = jnp.max(arc_sum(arc_d, jnp.where(darker, excess, 0.0)), axis=0)
-    return jnp.maximum(score_b, score_d)
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-9 response map [H, W] float32 (0 where not a corner).
+
+    Kept for API compatibility: thresholds the threshold-free
+    :func:`fast_corner_score`."""
+    score = fast_corner_score(img)
+    return jnp.where(score > threshold, score, 0).astype(jnp.float32)
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
@@ -120,17 +119,18 @@ def detect_level(
     detections (``ORBextractor.cc:769-829``).
     """
     h, w = img.shape
-    score_hi = nms3(fast_score_map(img, ini_threshold))
-    score_lo = nms3(fast_score_map(img, min_threshold))
+    # ONE threshold-free score map serves both thresholds (the reference's
+    # hi->lo fallback, ORBextractor.cc:769-829): corner at t <=> score > t.
+    raw = fast_corner_score(img).astype(jnp.float32)
+    raw = jnp.where(raw > min_threshold, raw, 0.0)
+    score = nms3(raw)
     bmask = _border_mask(h, w, border)
-    score_hi = jnp.where(bmask, score_hi, 0.0)
-    score_lo = jnp.where(bmask, score_lo, 0.0)
+    score = jnp.where(bmask, score, 0.0)
 
     # Pad to cell multiples.
     ph = (-h) % cell_size
     pw = (-w) % cell_size
-    score_hi = jnp.pad(score_hi, ((0, ph), (0, pw)))
-    score_lo = jnp.pad(score_lo, ((0, ph), (0, pw)))
+    score = jnp.pad(score, ((0, ph), (0, pw)))
     hp, wp = h + ph, w + pw
     ncy, ncx = hp // cell_size, wp // cell_size
     n_cells = ncy * ncx
@@ -142,10 +142,10 @@ def detect_level(
             .reshape(n_cells, cell_size * cell_size)
         )
 
-    cells_hi = to_cells(score_hi)
-    cells_lo = to_cells(score_lo)
+    cells_all = to_cells(score)
+    cells_hi = jnp.where(cells_all > ini_threshold, cells_all, 0.0)
     has_hi = jnp.any(cells_hi > 0, axis=1, keepdims=True)
-    cells = jnp.where(has_hi, cells_hi, cells_lo)
+    cells = jnp.where(has_hi, cells_hi, cells_all)
 
     # Per-cell top-k (k bounded by capacity but kept small for top-k cost).
     k = max(1, min(cell_size * cell_size, -(-capacity // max(n_cells, 1)) * 4))

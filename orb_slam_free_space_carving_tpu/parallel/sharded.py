@@ -60,10 +60,12 @@ def shard_ba_problem(prob: ba.BAProblem, mesh: Mesh, axis: str = "obs"
 @functools.partial(
     jax.jit, static_argnames=("iterations", "cg_iterations", "robust")
 )
-def _ba_cg_jit(prob, intr, iterations, cg_iterations, robust):
+def _ba_cg_jit(prob, intr, iterations, cg_iterations, robust,
+               lm_lambda0=1e-4, lm_lambda_factor=2.0):
     return ba.ba_solve_cg(
         prob, intr, iterations=iterations, cg_iterations=cg_iterations,
-        robust=robust,
+        robust=robust, lm_lambda0=lm_lambda0,
+        lm_lambda_factor=lm_lambda_factor,
     )
 
 
