@@ -332,8 +332,27 @@ class Carver:
         return origins.astype(np.float32), targets.astype(np.float32)
 
     def update_mesh(self):
-        """Recompute vote grids from all constraints + extract the surface."""
+        """Recompute vote grids from all constraints + extract the surface.
+
+        With ``carving.use_delaunay_oracle`` the mesh instead comes from the
+        host Delaunay tetrahedrization + exact min-cut (ops/delaunay.py) —
+        the reference's original discretization, used as a topology oracle
+        for validation on small scenes."""
         origins, targets = self._constraints()
+        if self.cfg.carving.use_delaunay_oracle:
+            host = self.host
+            pts = np.asarray(self.m.pt_xyz)[host.pt_valid]
+            if pts.shape[0] < 16 or origins.shape[0] == 0:
+                return
+            from orb_slam_free_space_carving_tpu.ops import delaunay
+
+            v, f, _info = delaunay.carve_delaunay(
+                pts, origins, targets,
+                lambda_smooth=self.cfg.carving.lambda_smooth,
+            )
+            self.vertices, self.faces, self.field = v, f, None
+            self.n_meshes += 1
+            return
         out = carve_mesh(origins, targets, self.cfg.carving)
         if out is None:
             return
