@@ -82,6 +82,9 @@ def main():
     warm_s = time.perf_counter() - t_warm0
 
     # Pass 2: fresh engine state, fully compiled code — the timed run.
+    from orb_slam_free_space_carving_tpu.utils import timing as _timing
+
+    _timing.reset()
     sysm = System(cfg)
     settle = min(12, n_frames // 4)
     for ts, img in frames[:settle]:
@@ -94,8 +97,11 @@ def main():
     sysm.shutdown()
     fps = (n_frames - settle) / dt
 
+    from orb_slam_free_space_carving_tpu.utils import timing
+
     ba_ms = sysm.local_mapper.ba_times_ms
     detail = {
+        "stages": timing.snapshot(),
         "fps": round(fps, 2),
         "frames_timed": n_frames - settle,
         "warmup_s": round(warm_s, 1),

@@ -150,6 +150,9 @@ class Carver:
         # recent keyframe images, Modeler.cc:1474-1531).
         self.max_textures = 10
         self.textures: list = []     # [(kf_slot, gray image np.uint8)]
+        # Called with (vertices, faces, n_meshes) after every mesh update
+        # (System wires this to the stream hub + live ModelDrawer).
+        self.on_mesh = None
 
     @property
     def m(self) -> ms.MapArrays:
@@ -338,6 +341,15 @@ class Carver:
         host Delaunay tetrahedrization + exact min-cut (ops/delaunay.py) —
         the reference's original discretization, used as a topology oracle
         for validation on small scenes."""
+        from orb_slam_free_space_carving_tpu.utils import timing
+
+        with timing.span("worker.carve_mesh"):
+            n0 = self.n_meshes
+            self._update_mesh_inner()
+        if self.n_meshes != n0 and self.on_mesh is not None:
+            self.on_mesh(self.vertices, self.faces, self.n_meshes)
+
+    def _update_mesh_inner(self):
         origins, targets = self._constraints()
         if self.cfg.carving.use_delaunay_oracle:
             host = self.host

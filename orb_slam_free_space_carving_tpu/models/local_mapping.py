@@ -31,7 +31,7 @@ import numpy as np
 from orb_slam_free_space_carving_tpu.config import SystemConfig
 from orb_slam_free_space_carving_tpu.models import map_state as ms
 from orb_slam_free_space_carving_tpu.ops import ba, matching, triangulation as tri
-from orb_slam_free_space_carving_tpu.utils import camera, lie
+from orb_slam_free_space_carving_tpu.utils import camera, lie, timing
 
 
 # ---------------------------------------------------------------------------
@@ -213,13 +213,19 @@ class LocalMapper:
             if self.loop_closer is not None:
                 self.loop_closer.on_keyframe(kf)
             return
-        self._cull_recent_points(kf)
-        self._create_new_points(kf)
-        self._fuse_neighbors(kf)
-        self._local_bundle_adjustment(kf)
-        self._cull_keyframes(kf)
+        with timing.span("worker.cull_points"):
+            self._cull_recent_points(kf)
+        with timing.span("worker.create_points"):
+            self._create_new_points(kf)
+        with timing.span("worker.fuse"):
+            self._fuse_neighbors(kf)
+        with timing.span("worker.local_ba"):
+            self._local_bundle_adjustment(kf)
+        with timing.span("worker.cull_kfs"):
+            self._cull_keyframes(kf)
         if self.loop_closer is not None:
-            self.loop_closer.on_keyframe(kf)
+            with timing.span("worker.loop_closing"):
+                self.loop_closer.on_keyframe(kf)
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, kf: int):

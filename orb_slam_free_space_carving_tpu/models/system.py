@@ -85,6 +85,31 @@ class System:
         self._prev_img = None
         self._prev_tex_kf = -1
 
+        # Streaming + observability (runtime/streaming.py): pose/mesh/status
+        # pub-sub (the ROS publisher analog, ros_mono.cc:80-146) and live
+        # counters.  Publishing is free when nothing subscribed.
+        from orb_slam_free_space_carving_tpu.runtime.streaming import (
+            StreamHub, SystemMonitor,
+        )
+
+        self.stream = StreamHub()
+        self.monitor = SystemMonitor(self)
+        if self.carver is not None:
+            self.carver.on_mesh = self._on_new_mesh
+
+        self.viewer = None
+        if use_viewer:
+            from orb_slam_free_space_carving_tpu.models.viewer import Viewer
+
+            self.viewer = Viewer(self)
+            self.viewer.start()
+
+    def _on_new_mesh(self, vertices, faces, version: int):
+        """Carver hook: fan the new model out to the stream + live drawer."""
+        self.stream.publish_mesh(vertices, faces, version)
+        if self.viewer is not None:
+            self.viewer.model_drawer.set_model(vertices, faces)
+
     # ------------------------------------------------------------------
     @property
     def map_arrays(self) -> ms.MapArrays:
@@ -96,6 +121,11 @@ class System:
             img = img.mean(axis=-1).astype(np.uint8)
         pose = self.tracker.track(img, timestamp)
         self._post_track(img)
+        # Pose streaming (the per-frame tf broadcast).  np.asarray may sync a
+        # device pose — only subscribers pay that cost.
+        if self.stream.has_subscribers("pose"):
+            self.stream.publish_pose(timestamp, np.asarray(pose),
+                                     self.tracker.state)
         return pose
 
     def _post_track(self, img: np.ndarray):
@@ -207,6 +237,8 @@ class System:
         self.tracker.finalize_trajectory()
         if self.carver is not None:
             self.carver.finalize()
+        if self.viewer is not None:
+            self.viewer.stop()
         self.gba_runner.shutdown()
         self.runner.shutdown()
 

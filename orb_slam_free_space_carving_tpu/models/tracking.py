@@ -34,7 +34,9 @@ from orb_slam_free_space_carving_tpu.config import SystemConfig
 from orb_slam_free_space_carving_tpu.models import map_state as ms
 from orb_slam_free_space_carving_tpu.models.frame import FrameBuilder, FrameData
 from orb_slam_free_space_carving_tpu.ops import ba, matching, pose_opt, triangulation as tri, twoview
-from orb_slam_free_space_carving_tpu.utils import camera, lie
+from orb_slam_free_space_carving_tpu.utils import camera, lie, timing
+
+from time import perf_counter as _pc
 
 NO_IMAGES_YET = 0
 NOT_INITIALIZED = 1
@@ -43,6 +45,14 @@ LOST = 3
 
 # Fixed capacity of the local-map point set handed to TrackLocalMap.
 LOCAL_POINTS_CAP = 2048
+
+
+def _array_is_ready(x) -> bool:
+    """True if a device array's value can be read without blocking."""
+    try:
+        return bool(x.is_ready())
+    except Exception:
+        return True
 
 
 def _pose_opt_kw(opt_cfg):
@@ -338,7 +348,15 @@ class Tracker:
         # 0-30 ms RTT floor per sync, scripts/probe_floor*).  Entries:
         # (frame, track_pt, n_inl, timestamp, frame_idx).
         self._pending: list = []
-        self._decision_batch = max(1, cfg.tracking.decision_batch)
+        # Deep decision pipelining only pays on a high-latency device link
+        # (the async runtime); in deterministic mode decisions must be prompt
+        # (reference semantics: loss detected within ~1 frame), so the
+        # blocking bound is capped at 2.
+        det = runner is None or runner.deterministic
+        self._decision_batch = (
+            min(2, max(1, cfg.tracking.decision_batch)) if det
+            else max(1, cfg.tracking.decision_batch)
+        )
         self._force_slow = False
         self._stale_pending = 0
         # Async stage runtime (None or a StageRunner; deterministic = inline).
@@ -400,12 +418,15 @@ class Tracker:
             self._monocular_initialization(frame, timestamp)
         elif (self.state == OK and have_vel
               and self._track_pt_dev is not None and not self._force_slow):
-            self._track_frame_fast(jnp.asarray(img, jnp.uint8), timestamp)
+            with timing.span("track.h2d"):
+                img_dev = jnp.asarray(img, jnp.uint8)
+            self._track_frame_fast(img_dev, timestamp)
         else:
-            self._flush_pending()
-            self._force_slow = False
-            frame = self.builder(img)
-            self._track_frame(frame, timestamp)
+            with timing.span("track.slow_path"):
+                self._flush_pending()
+                self._force_slow = False
+                frame = self.builder(img)
+                self._track_frame(frame, timestamp)
 
         pose = (
             self.last_frame.pose if self.last_frame is not None
@@ -535,6 +556,7 @@ class Tracker:
     def _track_frame_fast(self, img_dev, timestamp: float):
         if self._velocity_dev is None:
             self._velocity_dev = jnp.asarray(self.velocity)
+        t0 = _pc()
         (feat, frame_is2, pose, track_pt, n_inl, vel,
          ctr_vis, ctr_fnd) = _fused_track_step(
             self.m, img_dev, self.last_frame.pose, self._velocity_dev,
@@ -546,6 +568,7 @@ class Tracker:
             self.wh, self.cfg.matcher.search_radius_motion,
             self.cfg.camera.has_distortion, opt_cfg=self.cfg.optimizer,
         )
+        timing.add("track.fast_dispatch", _pc() - t0)
         try:
             n_inl.copy_to_host_async()
         except Exception:
@@ -563,8 +586,19 @@ class Tracker:
         self._pending.append(
             (frame, track_pt, n_inl, timestamp, self.frame_idx)
         )
-        while len(self._pending) >= self._decision_batch:
-            self._finalize_pending(self._pending.pop(0))
+        # Finalize every pending frame whose inlier readback has already
+        # landed (is_ready() => int() is free): in practice the async copy
+        # completes during the next frame's work, so decisions lag ~1 frame
+        # like the reference while never blocking.  decision_batch is only
+        # the *blocking* bound — the queue never grows past it.
+        with timing.span("track.finalize"):
+            while self._pending and (
+                len(self._pending) >= self._decision_batch
+                or _array_is_ready(self._pending[0][2])
+            ):
+                self._finalize_pending(self._pending.pop(0))
+                if self._force_slow:
+                    break
 
     def _finalize_pending(self, pending):
         """Apply the lagged per-frame decisions (tracking health + keyframe
@@ -585,12 +619,13 @@ class Tracker:
             self._stale_pending -= 1
             return
         if self._need_new_keyframe(n):
-            track_pt_np = np.asarray(track_pt)
-            self.last_track_pt = track_pt_np
-            saved_idx = self.frame_idx
-            self.frame_idx = frame_idx      # keyframe carries its own frame id
-            self._create_new_keyframe(frame, timestamp, track_pt_np)
-            self.frame_idx = saved_idx
+            with timing.span("track.create_kf"):
+                track_pt_np = np.asarray(track_pt)
+                self.last_track_pt = track_pt_np
+                saved_idx = self.frame_idx
+                self.frame_idx = frame_idx  # keyframe carries its own frame id
+                self._create_new_keyframe(frame, timestamp, track_pt_np)
+                self.frame_idx = saved_idx
 
     def _flush_pending(self):
         pending, self._pending = self._pending, []
@@ -1156,6 +1191,13 @@ class Tracker:
                                   track_pt: np.ndarray, new_xyz, new_pids):
         """Map-writing half of keyframe insertion; runs on the stage worker
         (async) or inline (deterministic)."""
+        with timing.span("worker.map_keyframe"):
+            self._process_keyframe_mapside_inner(kf, frame, track_pt,
+                                                 new_xyz, new_pids)
+
+    def _process_keyframe_mapside_inner(self, kf: int, frame: FrameData,
+                                        track_pt: np.ndarray, new_xyz,
+                                        new_pids):
         f = frame.feat
         self.m = ms.insert_keyframe_arrays(
             self.m, kf, frame.pose, f.uv_und, f.octave, f.angle, f.desc,
