@@ -224,6 +224,17 @@ class CarvingConfig:
     # accumulates votes instead of per-tet constraint lists.)
     max_rays_per_kf: int = 1024
     use_delaunay_oracle: bool = False  # host scipy Delaunay + batched tet voting
+    # Incremental re-carving (the reference's per-keyframe incremental tet
+    # updates, FreespaceDelaunayAlgorithm.cc:274-302): keep persistent vote
+    # grids and, per mesh update, deposit only rays of NEW/MOVED keyframes and
+    # retract (weight=-1) the previously deposited rays of changed/culled
+    # ones.  Cost O(changed constraints), not O(map).  A full recompute
+    # triggers automatically when the data outgrows the frozen grid bounds or
+    # most keyframes moved (e.g. after a loop closure / global BA).
+    incremental: bool = True
+    incremental_tol_voxels: float = 0.25   # re-carve a KF if moved > tol
+    incremental_oob_frac: float = 0.02     # full recompute if OOB targets >2%
+    incremental_churn_frac: float = 0.6    # full recompute if >60% KFs changed
 
 
 @dataclass(frozen=True)

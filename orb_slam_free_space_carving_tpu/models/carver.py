@@ -153,6 +153,15 @@ class Carver:
         # Called with (vertices, faces, n_meshes) after every mesh update
         # (System wires this to the stream hub + live ModelDrawer).
         self.on_mesh = None
+        # Incremental carving state (persistent device vote/evidence grids +
+        # per-KF deposit snapshots; see CarvingConfig.incremental).
+        self._votes = None           # [R,R,R] device
+        self._evidence = None        # [R,R,R] device
+        self._lo = None              # np[3] frozen grid bounds
+        self._hi = None
+        self._snap: dict = {}        # kf -> (origin[3], pids[M], targets[M,3])
+        self.n_full_recarves = 0
+        self.n_inc_updates = 0
 
     @property
     def m(self) -> ms.MapArrays:
@@ -194,6 +203,11 @@ class Carver:
         self._kfs_since_mesh = 0
         self._n_kf_seen = 0
         self.textures = []
+        self._votes = None
+        self._evidence = None
+        self._lo = None
+        self._hi = None
+        self._snap = {}
 
     # ------------------------------------------------------------------
     # Texture queue (TextureFrame + Modeler::AddTexture/GetTextures)
@@ -350,8 +364,8 @@ class Carver:
             self.on_mesh(self.vertices, self.faces, self.n_meshes)
 
     def _update_mesh_inner(self):
-        origins, targets = self._constraints()
         if self.cfg.carving.use_delaunay_oracle:
+            origins, targets = self._constraints()
             host = self.host
             pts = np.asarray(self.m.pt_xyz)[host.pt_valid]
             if pts.shape[0] < 16 or origins.shape[0] == 0:
@@ -365,11 +379,157 @@ class Carver:
             self.vertices, self.faces, self.field = v, f, None
             self.n_meshes += 1
             return
+        if self.cfg.carving.incremental:
+            if self._update_mesh_incremental():
+                self.n_meshes += 1
+            return
+        origins, targets = self._constraints()
         out = carve_mesh(origins, targets, self.cfg.carving)
         if out is None:
             return
         self.vertices, self.faces, self.field = out
         self.n_meshes += 1
+
+    # ------------------------------------------------------------------
+    # Incremental re-carving (FreespaceDelaunayAlgorithm.cc:274-302 analog)
+    # ------------------------------------------------------------------
+    def _constraints_by_kf(self) -> dict:
+        """Current constraint set grouped per keyframe:
+        {kf_slot: (origin[3], pids[M], targets[M,3])}, with the per-KF ray
+        cap applied deterministically (seeded by slot) so an unchanged KF
+        reproduces the identical subset across updates."""
+        m, host = self.m, self.host
+        K = host.n_kf_slots
+        obs = host.obs_pt[:K]
+        kf_ok = host.kf_valid[:K]
+        centers = np.asarray(lie.se3_inverse(m.kf_pose))[:, 4:7]
+        pts = np.asarray(m.pt_xyz)
+        cap = self.cfg.carving.max_rays_per_kf
+        out = {}
+        for k in np.where(kf_ok)[0]:
+            pids = obs[k]
+            pids = pids[pids >= 0]
+            pids = pids[host.pt_valid[pids]]
+            if pids.size == 0:
+                continue
+            pids = np.sort(pids)
+            if pids.size > cap:
+                sel = np.random.default_rng(int(k)).choice(
+                    pids.size, cap, replace=False)
+                pids = pids[np.sort(sel)]
+            out[int(k)] = (
+                centers[k].astype(np.float32), pids.astype(np.int64),
+                pts[pids].astype(np.float32),
+            )
+        return out
+
+    def _deposit(self, origins: np.ndarray, targets: np.ndarray, weight: float):
+        """One batched signed carve over the frozen grid; returns device
+        (votes, evidence) deltas.  Rays whose target is outside the frozen
+        bounds are dropped whole (the giant-point quarantine)."""
+        keep = np.all((targets >= self._lo) & (targets <= self._hi), axis=1)
+        origins, targets = origins[keep], targets[keep]
+        B = 1 << int(np.ceil(np.log2(max(origins.shape[0], 1024))))
+        pad = B - origins.shape[0]
+        mask = np.ones(B, bool)
+        if pad:
+            mask[origins.shape[0]:] = False
+            origins = np.pad(origins, ((0, pad), (0, 0)))
+            targets = np.pad(targets, ((0, pad), (0, 0)))
+        ccfg = self.cfg.carving
+        return carving.carve_votes(
+            jnp.asarray(origins), jnp.asarray(targets), jnp.asarray(mask),
+            jnp.asarray(self._lo, jnp.float32), jnp.asarray(self._hi, jnp.float32),
+            resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,
+            weight=weight,
+        )
+
+    def _update_mesh_incremental(self) -> bool:
+        ccfg = self.cfg.carving
+        cur = self._constraints_by_kf()
+        n_rays = sum(v[2].shape[0] for v in cur.values())
+        if n_rays < 50:
+            return False
+
+        full = self._lo is None
+        changed, removed = [], []
+        if not full:
+            tol = (ccfg.incremental_tol_voxels
+                   * float((self._hi - self._lo).max()) / ccfg.grid_resolution)
+            for k, (o, pids, tg) in cur.items():
+                old = self._snap.get(k)
+                if old is None:
+                    changed.append(k)
+                elif (old[1].shape != pids.shape or (old[1] != pids).any()
+                      or np.abs(old[0] - o).max() > tol
+                      or np.abs(old[2] - tg).max() > tol):
+                    changed.append(k)
+            removed = [k for k in self._snap if k not in cur]
+            # Full recompute when the data outgrew the frozen grid or the
+            # map globally moved (loop closure / GBA).
+            all_tg = np.concatenate([v[2] for v in cur.values()])
+            oob = ~np.all((all_tg >= self._lo) & (all_tg <= self._hi), axis=1)
+            if (oob.mean() > ccfg.incremental_oob_frac
+                    or len(changed) + len(removed)
+                    > ccfg.incremental_churn_frac * max(len(cur), 1)):
+                full = True
+
+        if full:
+            # Freeze bounds from the current data (carve_mesh's percentile
+            # quarantine box) and deposit everything at weight +1.
+            all_tg = np.concatenate([v[2] for v in cur.values()])
+            all_or = np.concatenate([
+                np.broadcast_to(o, tg.shape)
+                for (o, _p, tg) in cur.values()
+            ])
+            lo_p = np.percentile(all_tg, 2.0, axis=0)
+            hi_p = np.percentile(all_tg, 98.0, axis=0)
+            center = 0.5 * (lo_p + hi_p)
+            half = 0.5 * (hi_p - lo_p) * float(ccfg.bounds_scale) + 1e-3
+            self._lo = np.minimum(center - half, all_or.min(axis=0) - 1e-3)
+            self._hi = np.maximum(center + half, all_or.max(axis=0) + 1e-3)
+            self._votes, self._evidence = self._deposit(all_or, all_tg, 1.0)
+            self._snap = dict(cur)
+            self.n_full_recarves += 1
+        else:
+            if not changed and not removed and self.vertices is not None:
+                return False              # nothing moved since last mesh
+            subs = [self._snap[k] for k in changed if k in self._snap]
+            subs += [self._snap[k] for k in removed]
+            adds = [cur[k] for k in changed]
+            for group, w in ((subs, -1.0), (adds, 1.0)):
+                if not group:
+                    continue
+                tg = np.concatenate([g[2] for g in group])
+                og = np.concatenate([
+                    np.broadcast_to(g[0], g[2].shape) for g in group
+                ])
+                dv, de = self._deposit(og, tg, w)
+                self._votes = self._votes + dv
+                self._evidence = self._evidence + de
+            for k in removed:
+                del self._snap[k]
+            for k in changed:
+                self._snap[k] = cur[k]
+            self.n_inc_updates += 1
+
+        # Label + extract from the persistent grids (shared back half of
+        # carve_mesh).
+        field = carving.mrf_relax(
+            self._votes, self._evidence, lambda_smooth=ccfg.lambda_smooth,
+            iterations=ccfg.mrf_iterations,
+            free_threshold=ccfg.free_vote_threshold,
+        )
+        ev_dil = carving.dilate_evidence(
+            self._evidence, radius=ccfg.evidence_dilation)
+        fx, fy, fz = carving.boundary_faces(field, ev_dil)
+        field_np = np.asarray(field)
+        verts, faces = surface_nets(
+            np.asarray(fx), np.asarray(fy), np.asarray(fz),
+            field_np, self._lo.astype(np.float32), self._hi.astype(np.float32),
+        )
+        self.vertices, self.faces, self.field = verts, faces, field_np
+        return True
 
     # ------------------------------------------------------------------
     def save_obj(self, path: str):

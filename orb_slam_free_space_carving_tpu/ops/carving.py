@@ -70,15 +70,24 @@ def carve_votes(
     hi: jnp.ndarray,            # [3] grid upper corner
     resolution: int = 128,
     n_samples: int = 96,
+    weight: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March all rays at once; returns (votes, evidence) grids [R,R,R].
 
     Free-space votes are deposited strictly *between* origin and target
     (t in [0, 0.97]) — the voxel containing the point itself is NOT carved,
     mirroring the tet walk stopping at the cell containing Q (``.cc:913-``).
+
+    ``weight`` (traced scalar) scales every deposit: +1 adds constraints,
+    -1 *retracts* previously added ones — the exact-cancellation primitive
+    behind incremental re-carving (deposits are unit scatter-adds, so
+    add-then-subtract of identical rays restores the grid bit-exactly in
+    float32; the TPU analog of the reference's incremental tet updates,
+    ``FreespaceDelaunayAlgorithm.cc:274-302``).
     """
     R = resolution
     scale = (hi - lo) / R
+    w = jnp.asarray(weight, jnp.float32)
 
     # Sample positions along each ray: [B,S,3].
     ts = jnp.linspace(0.02, 0.97, n_samples, dtype=ray_origins.dtype)
@@ -98,7 +107,7 @@ def carve_votes(
     flat = jnp.where(first, flat, R * R * R)
 
     votes = jnp.zeros((R * R * R,), jnp.float32).at[flat.reshape(-1)].add(
-        1.0, mode="drop"
+        w, mode="drop"
     )
 
     # Endpoint evidence (the Delaunay vertex / surface anchor).
@@ -106,7 +115,7 @@ def carve_votes(
     einb = jnp.all((eidx >= 0) & (eidx < R), axis=-1) & ray_mask
     eflat = (eidx[..., 0] * R + eidx[..., 1]) * R + eidx[..., 2]
     eflat = jnp.where(einb, eflat, R * R * R)
-    evidence = jnp.zeros((R * R * R,), jnp.float32).at[eflat].add(1.0, mode="drop")
+    evidence = jnp.zeros((R * R * R,), jnp.float32).at[eflat].add(w, mode="drop")
 
     return votes.reshape(R, R, R), evidence.reshape(R, R, R)
 
