@@ -1,4 +1,4 @@
-"""Benchmark: end-to-end tracking+carving throughput on one chip.
+"""Benchmark: end-to-end tracking+mapping+loop+carving throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -7,18 +7,27 @@ Baseline (BASELINE.md): the reference is "real-time" at 30 fps on CPU with a
 chip, i.e. >=150 fps for the tracking+carving pipeline.  ``vs_baseline`` is
 measured_fps / 30.
 
-Design notes for reproducible timing on the tunneled TPU:
-- every jitted program lands in the persistent compile cache
-  (``.jax_cache_tpu``, committed to the repo), so a fresh driver run pays cache
-  loads, not compiles;
-- the warm-up pass is only as long as needed to touch every program
-  (init, fused fast path, keyframe mapping chain, carving, loop detection);
-- the timed pass runs the async stage pipeline (mapping/BA/loop/carving on
-  the stage worker, tracking = one device dispatch per frame), i.e. the same
-  latency-hiding the reference gets from its pthreads.
+Workload (VERDICT r2 #2: exercise the WHOLE claim, not just tracking): a
+640x480 full-circle circuit inside a closed textured room — constant camera
+translation forces regular keyframes, mesh cadence every 2 keyframes lands
+>=10 mesh updates in the timed pass, and the circuit's end revisits its start
+so the loop-closure chain (BoW detect -> Sim3 -> correct -> GBA) fires inside
+the timed window.
 
-Extra metrics (BA ms/keyframe — the BASELINE.md metric — plus stage stats)
-go to BENCH_DETAIL.json; stdout carries only the driver's JSON line.
+Timing protocol on the tunneled TPU:
+- every jitted program lands in the persistent compile cache
+  (``.jax_cache_tpu``, committed), so a fresh driver run pays cache loads,
+  not compiles;
+- warm-up runs a SHORT circuit (same scene, same programs, fewer frames)
+  end-to-end including a loop closure and final GBA, touching every program;
+- the timed pass runs the async stage pipeline (mapping/BA/loop/carving on
+  the stage worker; tracking = one device dispatch per frame with lagged
+  decision readbacks) — the same latency-hiding the reference gets from its
+  pthreads.
+
+Extra metrics (BA ms/keyframe — the BASELINE.md metric — keyframe/mesh/loop
+counts and the per-stage wall-time breakdown) go to BENCH_DETAIL.json; stdout
+carries only the driver's JSON line.
 """
 
 import json
@@ -53,40 +62,28 @@ def make_config():
             local_ba_points=8192, local_ba_obs=16384,
             gba_obs=65536,
         ),
-        carving=CarvingConfig(grid_resolution=128, ray_samples=96),
+        carving=CarvingConfig(grid_resolution=128, ray_samples=96,
+                              mesh_every_kfs=2),
         deterministic=False,     # async stage pipeline (P1-P5)
     )
 
 
-def main():
+def _circuit_frames(cam, n_frames):
+    from orb_slam_free_space_carving_tpu.utils.synthetic import (
+        SyntheticSequence, circuit_trajectory, make_closed_room_scene,
+    )
+
+    seq = SyntheticSequence(
+        cam, n_frames=n_frames, scene=make_closed_room_scene(),
+        poses_cw=circuit_trajectory(n_frames),
+    )
+    return [seq.frame(i) for i in range(n_frames)]
+
+
+def _run(cfg, frames, settle=0):
     from orb_slam_free_space_carving_tpu.models.system import System
-    from orb_slam_free_space_carving_tpu.utils.synthetic import SyntheticSequence
 
-    cfg = make_config()
-    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
-    n_warm = min(int(os.environ.get("BENCH_WARMUP", "48")), n_frames)
-    seq = SyntheticSequence(cfg.camera, n_frames=n_frames)
-    # Pre-render so host rendering cost doesn't pollute the pipeline timing.
-    frames = [seq.frame(i) for i in range(n_frames)]
-
-    # Pass 1: compile warm-up over a prefix long enough to touch every jitted
-    # program (two-view init + initial BA, fused fast path, slow path,
-    # keyframe mapping chain, carving mesh at the KF-5 cadence, BoW loop
-    # detection from KF 10).  With the persistent cache these are loads, not
-    # compiles, on any later run.
-    t_warm0 = time.perf_counter()
     sysm = System(cfg)
-    for ts, img in frames[:n_warm]:
-        sysm.track_monocular(img, ts)
-    sysm.shutdown()
-    warm_s = time.perf_counter() - t_warm0
-
-    # Pass 2: fresh engine state, fully compiled code — the timed run.
-    from orb_slam_free_space_carving_tpu.utils import timing as _timing
-
-    _timing.reset()
-    sysm = System(cfg)
-    settle = min(12, n_frames // 4)
     for ts, img in frames[:settle]:
         sysm.track_monocular(img, ts)
     t0 = time.perf_counter()
@@ -94,14 +91,32 @@ def main():
         sysm.track_monocular(img, ts)
     sysm.runner.flush()
     dt = time.perf_counter() - t0
-    sysm.shutdown()
-    fps = (n_frames - settle) / dt
+    return sysm, dt
 
+
+def main():
+    cfg = make_config()
+    n_frames = int(os.environ.get("BENCH_FRAMES", "360"))
+    n_warm = int(os.environ.get("BENCH_WARMUP", "120"))
+
+    # Pass 1 (compile warm-up): a short full circuit — same scene, same
+    # camera, same jitted programs incl. loop closure + GBA + meshes.  With
+    # the persistent cache these are loads, not compiles, on later runs.
+    t_warm0 = time.perf_counter()
+    sysm, _ = _run(cfg, _circuit_frames(cfg.camera, n_warm))
+    sysm.shutdown()
+    warm_s = time.perf_counter() - t_warm0
+
+    # Pass 2: fresh engine state, fully compiled code — the timed run.
     from orb_slam_free_space_carving_tpu.utils import timing
 
+    frames = _circuit_frames(cfg.camera, n_frames)
+    timing.reset()
+    settle = 12
+    sysm, dt = _run(cfg, frames, settle=settle)
+    fps = (n_frames - settle) / dt
     ba_ms = sysm.local_mapper.ba_times_ms
     detail = {
-        "stages": timing.snapshot(),
         "fps": round(fps, 2),
         "frames_timed": n_frames - settle,
         "warmup_s": round(warm_s, 1),
@@ -109,9 +124,13 @@ def main():
         "n_keyframes": int(sysm.map_host.kf_valid.sum()),
         "n_points": int(sysm.map_host.pt_valid.sum()),
         "n_mesh_updates": sysm.carver.n_meshes if sysm.carver else 0,
+        "n_full_recarves": sysm.carver.n_full_recarves if sysm.carver else 0,
+        "n_inc_recarves": sysm.carver.n_inc_updates if sysm.carver else 0,
         "n_loops": sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0,
         "platform": jax.devices()[0].platform,
+        "stages": timing.snapshot(),
     }
+    sysm.shutdown()
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json"), "w") as f:

@@ -218,6 +218,7 @@ class CarvingConfig:
     lambda_smooth: float = 0.05
     free_vote_threshold: float = 0.5   # vote>0 in reference; soft for voxels
     mesh_interval_s: float = 5.0       # isosurface recompute throttle
+    mesh_every_kfs: int = 5            # KF-cadence mesh throttle
     mrf_iterations: int = 32           # parallel min-cut relaxation sweeps
     # (The reference's K=1 constraint-forgetting heuristic,
     # FreespaceDelaunayAlgorithm.h:57, has no analog here: the voxel recast

@@ -134,7 +134,9 @@ def surface_nets(fx, fy, fz, field, lo, hi):
 
 class Carver:
     def __init__(self, cfg: SystemConfig, map_arrays_ref, map_host: ms.MapHost,
-                 mesh_every_kfs: int = 5):
+                 mesh_every_kfs: int | None = None):
+        if mesh_every_kfs is None:
+            mesh_every_kfs = cfg.carving.mesh_every_kfs
         self.cfg = cfg
         self._map_ref = map_arrays_ref
         self.host = map_host

@@ -608,7 +608,13 @@ class Tracker:
         self.n_tracked = n
         if n < self.cfg.tracking.min_matches_track_localmap:
             # Too few inliers: next frame re-tracks via the slow path
-            # (reference-KF match / relocalization).
+            # (reference-KF match / relocalization).  The frame's trajectory
+            # entry was optimistically appended as OK — retroactively mark it
+            # LOST so consumers (ATE, TUM writers) exclude its pose, which
+            # the reference would never have published.
+            if frame_idx < len(self.trajectory):
+                ts_e, pose_e, _ = self.trajectory[frame_idx]
+                self.trajectory[frame_idx] = (ts_e, pose_e, LOST)
             self._force_slow = True
             self.velocity = None
             self._velocity_dev = None
@@ -620,21 +626,26 @@ class Tracker:
             return
         if self._need_new_keyframe(n):
             with timing.span("track.create_kf"):
-                track_pt_np = np.asarray(track_pt)
-                self.last_track_pt = track_pt_np
+                # track_pt stays on device: the worker pulls it when it
+                # processes the keyframe, so the tracking thread never waits
+                # for the device queue to drain here.
+                self.last_track_pt = track_pt
                 saved_idx = self.frame_idx
                 self.frame_idx = frame_idx  # keyframe carries its own frame id
-                self._create_new_keyframe(frame, timestamp, track_pt_np)
+                self._create_new_keyframe(frame, timestamp, track_pt)
                 self.frame_idx = saved_idx
 
     def _flush_pending(self):
         pending, self._pending = self._pending, []
         for item in pending:
             self._finalize_pending(item)
-        # Slow path needs the numpy velocity mirror.
+        # Slow path needs the numpy mirrors.
         if self._velocity_dev is not None:
             self.velocity = np.asarray(self._velocity_dev)
             self._velocity_dev = None
+        if self.last_track_pt is not None and not isinstance(
+                self.last_track_pt, np.ndarray):
+            self.last_track_pt = np.asarray(self.last_track_pt)
 
     def _refresh_local_points(self):
         """Recompute the device-side local point buffer from the covisibility
@@ -1155,15 +1166,6 @@ class Tracker:
         kf = self.host.alloc_keyframe()
         new_xyz = np.zeros((0, 3))
         new_pids = np.zeros(0, np.int64)
-        if frame.depth is not None:
-            # Close-point insertion (Tracking.cc:1098-1146): unbound features
-            # with depth become map points, nearest first, until depth exceeds
-            # ThDepth and at least 100 points exist.  Inline-only path
-            # (stereo/RGB-D runs the deterministic pipeline).
-            track_pt, new_xyz, new_pids = self._insert_depth_points(
-                frame, kf, track_pt
-            )
-        self.host.obs_pt[kf] = track_pt
         self.host.kf_frame_id[kf] = self.frame_idx
         self.host.kf_timestamp[kf] = timestamp
         self.ref_kf = kf
@@ -1175,17 +1177,30 @@ class Tracker:
             and frame.depth is None
         )
         if use_async:
-            # The fast path needs this keyframe's freshly tracked points in
-            # the local set immediately; the full covisibility refresh lands
-            # when the worker finishes the keyframe.
-            self._merge_local_ids(track_pt)
+            # track_pt may still be a device array: the worker materializes
+            # it (obs_pt row, journal) off the tracking thread.  The local
+            # point set already contains everything this frame tracked (the
+            # matches CAME from it); the worker's _refresh_local_points picks
+            # up newly triangulated points right after mapping.
             self.runner.submit(
-                self._process_keyframe_mapside, kf, frame, track_pt.copy(),
+                self._process_keyframe_mapside, kf, frame, track_pt,
                 new_xyz, new_pids,
             )
-        else:
-            self._process_keyframe_mapside(kf, frame, track_pt, new_xyz,
-                                           new_pids)
+            return
+
+        track_pt = np.asarray(track_pt)
+        if frame.depth is not None:
+            # Close-point insertion (Tracking.cc:1098-1146): unbound features
+            # with depth become map points, nearest first, until depth exceeds
+            # ThDepth and at least 100 points exist.  Inline-only path
+            # (stereo/RGB-D runs the deterministic pipeline).
+            track_pt, new_xyz, new_pids = self._insert_depth_points(
+                frame, kf, track_pt
+            )
+        self.host.obs_pt[kf] = track_pt
+        self.last_track_pt = track_pt
+        self._process_keyframe_mapside(kf, frame, track_pt, new_xyz,
+                                       new_pids)
 
     def _process_keyframe_mapside(self, kf: int, frame: FrameData,
                                   track_pt: np.ndarray, new_xyz, new_pids):
@@ -1196,12 +1211,14 @@ class Tracker:
                                                  new_xyz, new_pids)
 
     def _process_keyframe_mapside_inner(self, kf: int, frame: FrameData,
-                                        track_pt: np.ndarray, new_xyz,
-                                        new_pids):
+                                        track_pt, new_xyz, new_pids):
+        track_pt_dev = jnp.asarray(track_pt)
+        track_pt = np.asarray(track_pt)          # device pull on the worker
+        self.host.obs_pt[kf] = track_pt
         f = frame.feat
         self.m = ms.insert_keyframe_arrays(
             self.m, kf, frame.pose, f.uv_und, f.octave, f.angle, f.desc,
-            f.valid, jnp.asarray(track_pt), ur_row=frame.u_right,
+            f.valid, track_pt_dev, ur_row=frame.u_right,
         )
         self.host.update_covisibility(kf)
 
@@ -1237,20 +1254,6 @@ class Tracker:
         # Any in-flight fast-path frame was computed against the
         # pre-correction map; its pose must not seed a keyframe.
         self._stale_pending = len(self._pending)
-
-    def _merge_local_ids(self, track_pt: np.ndarray):
-        """Union the new keyframe's tracked points into the local point
-        buffer (host mirror + async device puts, no sync)."""
-        own = track_pt[track_pt >= 0]
-        cur = self._local_ids_np[self._local_mask_np]
-        ids = np.unique(np.concatenate([own, cur]))[:LOCAL_POINTS_CAP]
-        out = np.zeros(LOCAL_POINTS_CAP, np.int32)
-        msk = np.zeros(LOCAL_POINTS_CAP, bool)
-        out[: ids.size] = ids
-        msk[: ids.size] = True
-        self._local_ids_np, self._local_mask_np = out, msk
-        self._local_ids = jnp.asarray(out)
-        self._local_mask = jnp.asarray(msk)
 
     def _insert_depth_points(self, frame: FrameData, kf: int,
                              track_pt: np.ndarray):

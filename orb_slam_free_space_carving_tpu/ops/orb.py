@@ -77,21 +77,84 @@ def _brief_pattern(seed: int = PATTERN_SEED):
 
 
 def _gather_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-free nearest lookup as a FLAT 1D gather (a single-axis
+    jnp.take lowers to a much faster TPU gather than 2D advanced indexing)."""
     h, w = img.shape
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
-    return img[yi, xi]
+    return jnp.take(img.reshape(-1), yi * w + xi)
 
 
 def compute_orientation(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle (radians) for keypoints xy[N,2] on one level."""
-    offs = jnp.asarray(_circle_offsets())  # [P,2]
-    px = xy[:, None, 0] + offs[None, :, 0]
-    py = xy[:, None, 1] + offs[None, :, 1]
-    vals = _gather_image(img, px, py)  # [N,P]
-    m10 = jnp.sum(vals * offs[None, :, 0], axis=1)
-    m01 = jnp.sum(vals * offs[None, :, 1], axis=1)
-    return jnp.arctan2(m01, m10)
+    """Intensity-centroid angle (radians) for keypoints xy[N,2] on one level.
+
+    Per-feature patch *gathers* are the slow path on TPU (~7 ms/frame for
+    1024 x 961-pixel patches, scripts/probe_fused_parts.py); instead the IC
+    moments are computed DENSELY for every pixel with integer column
+    prefix-sums (2 cumsums + 31 shifted window-differences, all
+    VPU-friendly elementwise work), then each keypoint reads back two
+    scalars.  Exact integer arithmetic -> bit-identical angles to the
+    gather formulation for any keypoint >= HALF_PATCH from the border
+    (guaranteed: detection uses edge_threshold=19 > 15).
+    """
+    m10, m01 = _moment_maps(img)
+    h, w = img.shape
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    return jnp.arctan2(
+        m01[yi, xi].astype(jnp.float32), m10[yi, xi].astype(jnp.float32)
+    )
+
+
+def _column_extents():
+    """u(dx): max |dy| inside the radius-15 IC circle per dx (int tuple)."""
+    return tuple(
+        int(np.floor(np.sqrt(HALF_PATCH * HALF_PATCH - dx * dx)))
+        for dx in range(-HALF_PATCH, HALF_PATCH + 1)
+    )
+
+
+def _shift_rows_clamp(S, k):
+    """out[y] = S[y+k] with edge clamping (k > 0 reads below, k < 0 above)."""
+    if k == 0:
+        return S
+    if k > 0:
+        return jnp.concatenate([S[k:], jnp.tile(S[-1:], (k, 1))], axis=0)
+    return jnp.concatenate([jnp.tile(S[:1], (-k, 1)), S[:k]], axis=0)
+
+
+def _shift_rows_zero(S, k):
+    """out[y] = S[y-k] with zeros above (prefix-sum 'before start' = 0)."""
+    return jnp.concatenate(
+        [jnp.zeros((k,) + S.shape[1:], S.dtype), S[:-k]], axis=0
+    )
+
+
+def _moment_maps(img: jnp.ndarray):
+    """Dense IC moments (m10, m01) int32 [H,W] over the radius-15 circle."""
+    img_i = img.astype(jnp.int32)
+    H = img.shape[0]
+    P = jnp.cumsum(img_i, axis=0)                       # [H,W] column prefix
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    T = jnp.cumsum(img_i * rows, axis=0)                # row-weighted prefix
+    exts = _column_extents()
+    m10 = jnp.zeros_like(P)
+    s_col = jnp.zeros_like(P)                           # sum img over circle
+    s_rw = jnp.zeros_like(P)                            # sum row*img
+    for i, dx in enumerate(range(-HALF_PATCH, HALF_PATCH + 1)):
+        u = exts[i]
+        # Column sum over rows [y-u, y+u] at column x+dx.
+        hi_p = _shift_rows_clamp(P, u)
+        lo_p = _shift_rows_zero(P, u + 1)
+        cs = jnp.roll(hi_p - lo_p, -dx, axis=1)
+        hi_t = _shift_rows_clamp(T, u)
+        lo_t = _shift_rows_zero(T, u + 1)
+        ts = jnp.roll(hi_t - lo_t, -dx, axis=1)
+        m10 = m10 + dx * cs
+        s_col = s_col + cs
+        s_rw = s_rw + ts
+    m01 = s_rw - rows * s_col                           # sum dy*img
+    return m10, m01
 
 
 def compute_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray

@@ -123,6 +123,10 @@ def _gn_rounds(pose0, points_w, uv_obs, inv_sigma2, mask0, intr,
             b = jnp.einsum("nij,ni->j", JW, e)
             H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
             dx = -jnp.linalg.solve(H, b)
+            # Degenerate systems (all points near the camera plane, singular
+            # H from inf Jacobians) must not poison the pose with NaNs: a
+            # non-finite step is a no-op.
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             return lie.se3_retract(p, dx)
 
         pose = jax.lax.fori_loop(0, iterations, gn_step, pose)
@@ -132,6 +136,13 @@ def _gn_rounds(pose0, points_w, uv_obs, inv_sigma2, mask0, intr,
         e, _, z = resid(pose)
         chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
         mask = mask0 & (chi2 <= chi2_th) & (z > 0)
+    # A non-finite pose (NaN input, catastrophic divergence) reverts to the
+    # initial guess with every observation relabelled outlier — the caller's
+    # low-inlier handling (re-track / relocalize) takes over, exactly like a
+    # failed PoseOptimization in the reference.
+    bad = ~jnp.all(jnp.isfinite(pose))
+    pose = jnp.where(bad, pose0, pose)
+    mask = mask & ~bad & jnp.isfinite(chi2)
     return pose, mask, chi2
 
 

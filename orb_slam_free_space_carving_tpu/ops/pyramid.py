@@ -36,9 +36,11 @@ def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
     k = k / jnp.sum(k)
     pad = jnp.pad(img, ((r, r), (r, r)), mode="edge")
-    # Horizontal then vertical 1D convolutions (XLA fuses these).
-    h = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(pad)
-    v = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(h)
+    # Shift-and-add separable passes (static slices; cheaper on TPU than
+    # vmapped 1D convolves, which lower to generalized convolutions).
+    H, W = img.shape
+    h = sum(k[i] * pad[:, i:i + W] for i in range(2 * r + 1))
+    v = sum(k[i] * h[i:i + H, :] for i in range(2 * r + 1))
     return v
 
 

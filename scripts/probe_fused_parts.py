@@ -83,15 +83,42 @@ def main():
         return (x ^ f.desc[0, 0].astype(jnp.uint8))
     chain_time("extract_features (full)", ext_step, img_dev)
 
-    # 3. FAST score over all levels (inside extract) — time in isolation
-    def fast_step(x):
-        lv, _blur = f_pyr(x)
-        acc = jnp.zeros((), jnp.float32)
-        for im in lv:
-            sc = fast.fast_score_map(im, threshold=ocfg.fast_threshold)
-            acc = acc + sc.astype(jnp.float32)[0, 0] + sc.astype(jnp.float32).max()
-        return (x ^ acc.astype(jnp.uint8))
-    chain_time("pyramid+FAST all levels", jax.jit(fast_step), img_dev)
+    # 3. sub-stages of extraction, each over all levels
+    from orb_slam_free_space_carving_tpu.ops import orb as orb_mod
+
+    budgets = orb_mod.level_budgets(ocfg.n_features, ocfg.n_levels,
+                                    ocfg.scale_factor)
+
+    def mk_stage(kind):
+        def stage(x):
+            lv, blur = f_pyr(x)
+            acc = jnp.zeros((), jnp.float32)
+            for l, im in enumerate(lv):
+                if kind == "score":
+                    sc = fast.fast_score_map(im, float(ocfg.ini_th_fast))
+                    acc += sc[0, 0] + sc.max()
+                else:
+                    xy, score, valid = fast.detect_level(
+                        im, capacity=max(8, budgets[l]),
+                        ini_threshold=float(ocfg.ini_th_fast),
+                        min_threshold=float(ocfg.min_th_fast),
+                        cell_size=ocfg.cell_size, border=ocfg.edge_threshold)
+                    if kind == "detect":
+                        acc += xy.sum() + score.max()
+                    elif kind == "detect+orient":
+                        ang = orb_mod.compute_orientation(im, xy)
+                        acc += ang.sum()
+                    elif kind == "detect+desc":
+                        ang = orb_mod.compute_orientation(im, xy)
+                        d = orb_mod.compute_descriptors(blur[l], xy, ang)
+                        acc += d.astype(jnp.float32).sum()
+            return (x ^ acc.astype(jnp.uint8))
+        return jax.jit(stage)
+
+    chain_time("pyr+FAST score all lv", mk_stage("score"), img_dev)
+    chain_time("pyr+detect all lv", mk_stage("detect"), img_dev)
+    chain_time("pyr+detect+orient", mk_stage("detect+orient"), img_dev)
+    chain_time("pyr+detect+orient+desc", mk_stage("detect+desc"), img_dev)
 
     # 4. Hamming matmul (matching cost proxy): [32k, 1024] vs [1024]
     M = 32768

@@ -24,45 +24,9 @@ from orb_slam_free_space_carving_tpu.utils.synthetic import (
 from orb_slam_free_space_carving_tpu.utils.trajectory import ate_rmse
 
 
-def closed_room_scene(seed: int = 3, extent: float = 4.0):
-    """The standard room plus a front wall at z=0 (closing the box) so a full
-    360-degree circuit always faces texture."""
-    scene = make_room_scene(seed, extent)
-    # Drop the interior box (it would occlude the tangential views).
-    scene = scene[:5]
-    rng = np.random.default_rng(seed + 100)
-    e = extent
-    scene.append(Quad(
-        np.array([-e / 2, -e / 2, 0.0]),
-        np.array([e, 0, 0.0]),
-        np.array([0.0, e, 0]),
-        _block_texture(rng),
-    ))
-    return scene
-
-
-def circuit_trajectory(n_frames: int, radius: float = 0.7,
-                       center=(0.0, 0.0, 2.0)):
-    """Full-circle walk looking tangentially (a closed loop with drift
-    accumulation and no mid-circuit view overlap with the start)."""
-    poses = []
-    cx0, cy0, cz0 = center
-    for i in range(n_frames):
-        s = i / n_frames
-        ang = 2.0 * np.pi * s
-        # Camera center on the circle (x-z plane).
-        cw = np.array([
-            cx0 + radius * np.sin(ang),
-            cy0,
-            cz0 - radius * np.cos(ang),
-        ])
-        # Look tangentially: world yaw equals the circuit angle.
-        cyw, syw = np.cos(ang), np.sin(ang)
-        Rwc = np.array([[cyw, 0, syw], [0, 1, 0], [-syw, 0, cyw]])
-        R = Rwc.T
-        t = -R @ cw
-        poses.append((R, t))
-    return poses
+from orb_slam_free_space_carving_tpu.utils.synthetic import (  # noqa: F401
+    circuit_trajectory, make_closed_room_scene as closed_room_scene,
+)
 
 
 def _cfg() -> SystemConfig:
