@@ -141,6 +141,10 @@ class TrackingConfig:
     # most decision_batch-1 frames (the reference reads them inline on CPU;
     # bounded staleness is the TPU-idiomatic equivalent).
     decision_batch: int = 6
+    # Losing the camera with <=5 keyframes triggers a full system reset +
+    # re-initialization (Tracking.cc:480-489) — a bad bootstrap must not
+    # leave the tracker relocalizing forever against a garbage 2-KF map.
+    reset_on_early_lost: bool = True
 
 
 @dataclass(frozen=True)

@@ -468,10 +468,19 @@ class Carver:
                     changed.append(k)
             removed = [k for k in self._snap if k not in cur]
             # Full recompute when the data outgrew the frozen grid or the
-            # map globally moved (loop closure / GBA).
+            # map globally moved (loop closure / GBA).  Camera origins count
+            # too: a new keyframe whose center drifts outside the frozen box
+            # would silently lose all its near-camera free-space samples
+            # (carve_votes drops OOB samples per-ray) without ever tripping
+            # the target-only fraction.
             all_tg = np.concatenate([v[2] for v in cur.values()])
+            all_or = np.stack([v[0] for v in cur.values()])
             oob = ~np.all((all_tg >= self._lo) & (all_tg <= self._hi), axis=1)
+            origin_oob = ~np.all(
+                (all_or >= self._lo) & (all_or <= self._hi), axis=1
+            )
             if (oob.mean() > ccfg.incremental_oob_frac
+                    or origin_oob.any()
                     or len(changed) + len(removed)
                     > ccfg.incremental_churn_frac * max(len(cur), 1)):
                 full = True

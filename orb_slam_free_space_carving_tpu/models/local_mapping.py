@@ -310,7 +310,9 @@ class LocalMapper:
             return
 
         # Pad neighbors to a static bucket and triangulate all pairs at once.
-        NB = 8
+        # Bucket size follows the config knob (LocalMapping.cc:250 uses 20
+        # covisible neighbors); the jitted batch compiles once per size.
+        NB = max(1, self.cfg.mapping.triangulation_neighbors)
         neighbors = neighbors[:NB]
         nbp = np.zeros(NB, np.int32)
         nb_mask = np.zeros(NB, bool)
@@ -401,7 +403,9 @@ class LocalMapper:
         msk[:z] = True
         ids_j = jnp.asarray(pad)
 
-        NB = 8
+        # Static bucket sized by the config knob (SearchInNeighbors uses 10
+        # 1-hop + 5 2-hop neighbors, LocalMapping.cc:471-484).
+        NB = max(1, self.cfg.mapping.fuse_neighbors)
         neighbors = neighbors[:NB]
         nbp = np.zeros(NB, np.int32)
         nb_mask = np.zeros(NB, bool)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from orb_slam_free_space_carving_tpu.config import SystemConfig, load_settings
@@ -75,6 +76,7 @@ class System:
             relocalizer=self.loop_closer,
             runner=self.runner,
         )
+        self.tracker.reset_cb = self.reset
         self.local_mapper.runner = self.runner
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
@@ -182,12 +184,16 @@ class System:
     TrackRGBD = track_rgbd
 
     def activate_localization_mode(self):
-        """System.cc:293-297 — stop mapping, track only."""
+        """System.cc:293-297 — stop mapping, track only: no keyframe is ever
+        created (Tracking.cc:986-991 mbOnlyTracking) and the mapper stage is
+        detached."""
         self.localization_only = True
+        self.tracker.only_tracking = True
         self.tracker.local_mapper = None
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.only_tracking = False
         self.tracker.local_mapper = self.local_mapper
 
     def _flush_pipeline(self):
@@ -220,6 +226,11 @@ class System:
         self.tracker._map_jump_kf = -1
         self.tracker._local_ids_np[:] = 0
         self.tracker._local_mask_np[:] = False
+        self.tracker._local_ids = jnp.zeros_like(self.tracker._local_ids)
+        self.tracker._local_mask = jnp.zeros_like(self.tracker._local_mask)
+        self.tracker._track_pt_dev = None
+        self.tracker.last_track_pt = None
+        self.tracker._last_good_pose = None
         self.tracker.ref_kf = -1
         self.local_mapper.recent_points = []
         self.local_mapper.kf_counter = 0

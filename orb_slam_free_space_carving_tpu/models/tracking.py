@@ -331,6 +331,14 @@ class Tracker:
         self.relocalizer = relocalizer
 
         self.state = NO_IMAGES_YET
+        # Localization-only latch (System.cc:293-303 / Tracking.cc:986-991):
+        # when set, _need_new_keyframe always returns False so the map is
+        # never grown; motion/ref-KF/local-map tracking still runs.
+        self.only_tracking = False
+        # System::Reset hook for the early-lost auto-reset
+        # (Tracking.cc:480-489: lost with <=5 keyframes right after
+        # initialization -> full reset + re-initialize).
+        self.reset_cb = None
         self.key = jax.random.PRNGKey(cfg.seed)
         self.velocity = None                 # [7] relative pose T_cur_last (np)
         self._velocity_dev = None            # [7] device mirror (fast path)
@@ -359,6 +367,12 @@ class Tracker:
         )
         self._force_slow = False
         self._stale_pending = 0
+        # Pose of the most recent frame whose inlier decision confirmed OK:
+        # the seed for same-frame fallback re-tracking when a lagged decision
+        # discovers a failure (reference Tracking.cc:334-352 falls back to
+        # reference-KF tracking within the same frame; with pipelined
+        # decisions the "same frame" is re-tracked here from this pose).
+        self._last_good_pose = None
         # Async stage runtime (None or a StageRunner; deterministic = inline).
         self.runner = runner
         self._ref_kf_frame: Optional[FrameData] = None
@@ -427,6 +441,20 @@ class Tracker:
                 self._force_slow = False
                 frame = self.builder(img)
                 self._track_frame(frame, timestamp)
+
+        # Early-lost auto-reset (Tracking.cc:480-489): losing the camera
+        # with <=5 keyframes means the bootstrap geometry was bad; a full
+        # reset lets the next frames re-initialize instead of relocalizing
+        # forever against a garbage 2-KF map.
+        # (skipped in localization-only mode: resetting would wipe a loaded
+        # map the user explicitly asked to localize against).
+        if (self.state == LOST and self.reset_cb is not None
+                and self.cfg.tracking.reset_on_early_lost
+                and not self.only_tracking
+                and int(self.host.kf_valid.sum()) <= 5):
+            self.trajectory.append((timestamp, lie.se3_identity(), LOST))
+            self.reset_cb()
+            return np.asarray(lie.se3_identity())
 
         pose = (
             self.last_frame.pose if self.last_frame is not None
@@ -605,25 +633,33 @@ class Tracker:
         policy) for a previously dispatched frame."""
         frame, track_pt, n_inl, timestamp, frame_idx = pending
         n = int(n_inl)           # transfer started last frame; ~0 wait
-        self.n_tracked = n
         if n < self.cfg.tracking.min_matches_track_localmap:
-            # Too few inliers: next frame re-tracks via the slow path
-            # (reference-KF match / relocalization).  The frame's trajectory
-            # entry was optimistically appended as OK — retroactively mark it
-            # LOST so consumers (ATE, TUM writers) exclude its pose, which
-            # the reference would never have published.
-            if frame_idx < len(self.trajectory):
-                ts_e, pose_e, _ = self.trajectory[frame_idx]
-                self.trajectory[frame_idx] = (ts_e, pose_e, LOST)
-            self._force_slow = True
-            self.velocity = None
-            self._velocity_dev = None
-            self.last_track_pt = np.asarray(track_pt)
+            # The fused dispatch failed for this frame.  The reference falls
+            # back to reference-KF tracking WITHIN the same frame
+            # (Tracking.cc:334-352); with pipelined decisions the frame data
+            # is still held here, so re-track it now from the last pose the
+            # decision loop confirmed good (the optimistically-advanced chain
+            # after a failure is garbage and must not seed anything).
+            self._recover_pending(frame, timestamp, frame_idx)
             return
         self.state = OK
+        self.n_tracked = n
+        self._last_good_pose = frame.pose
         if self._stale_pending > 0:
             self._stale_pending -= 1
             return
+        # Local-map staleness guard: the device-side point buffer refreshes
+        # on keyframe events; between keyframes the reference recomputes its
+        # local map per frame (Tracking.cc:1204-1348).  When the inlier count
+        # decays toward the loss threshold, recompute the buffer from the
+        # currently tracked points before the fused path actually fails.
+        if n < 2 * self.cfg.tracking.min_matches_track_localmap:
+            with timing.span("track.local_refresh"):
+                tp_np = np.asarray(track_pt)
+                ids, msk = self._local_point_ids(tp_np)
+                self._local_ids_np, self._local_mask_np = ids, msk
+                self._local_ids = jnp.asarray(ids)
+                self._local_mask = jnp.asarray(msk)
         if self._need_new_keyframe(n):
             with timing.span("track.create_kf"):
                 # track_pt stays on device: the worker pulls it when it
@@ -634,6 +670,58 @@ class Tracker:
                 self.frame_idx = frame_idx  # keyframe carries its own frame id
                 self._create_new_keyframe(frame, timestamp, track_pt)
                 self.frame_idx = saved_idx
+
+    def _recover_pending(self, frame: FrameData, timestamp: float,
+                         frame_idx: int):
+        """Same-frame fallback for a pipelined frame whose lagged decision
+        came back failed: re-track against the reference keyframe from the
+        last confirmed-good pose, then re-run TrackLocalMap.  On success the
+        frame's trajectory entry is corrected in place; on failure it is
+        marked LOST (the reference never publishes a failed pose)."""
+        seed = self._last_good_pose
+        if seed is None and self.last_frame is not None:
+            seed = self.last_frame.pose
+        ok, track_pt, pose = self._track_reference_keyframe(
+            frame, seed_pose=seed
+        )
+        n2 = 0
+        if ok:
+            frame = frame._replace(pose=pose)
+            frame, track_pt, n2 = self._track_local_map(frame, track_pt)
+            ok = n2 >= self.cfg.tracking.min_matches_track_localmap
+        # The optimistic fast-path chain beyond this frame was computed from
+        # a failed pose: stop dispatching fast frames (the remaining pending
+        # entries recover one by one through this same path) and rebuild the
+        # velocity model on the slow path.
+        self._force_slow = True
+        self.velocity = None
+        self._velocity_dev = None
+        if ok:
+            self.state = OK
+            self.n_tracked = n2
+            self._last_good_pose = frame.pose
+            self.last_frame = frame
+            self.last_track_pt = track_pt
+            self._track_pt_dev = jnp.asarray(track_pt)
+            if frame_idx < len(self.trajectory):
+                ts_e, _, _ = self.trajectory[frame_idx]
+                self.trajectory[frame_idx] = (ts_e, frame.pose, OK)
+            if self._need_new_keyframe(n2):
+                saved_idx = self.frame_idx
+                self.frame_idx = frame_idx
+                self._create_new_keyframe(frame, timestamp, track_pt)
+                self.frame_idx = saved_idx
+            return
+        # Unrecoverable: LOST.  For an already-appended entry patch it in
+        # place; for the current frame track() appends with self.state.
+        self.state = LOST
+        if frame_idx < len(self.trajectory):
+            ts_e, pose_e, _ = self.trajectory[frame_idx]
+            self.trajectory[frame_idx] = (ts_e, pose_e, LOST)
+        if self.last_frame is not None and seed is not None:
+            # Seed any later slow-path attempt from the sane pose, not the
+            # diverged optimistic chain.
+            self.last_frame = self.last_frame._replace(pose=seed)
 
     def _flush_pending(self):
         pending, self._pending = self._pending, []
@@ -1003,12 +1091,18 @@ class Tracker:
         track_pt[idx_np[ok_rows]] = last_pt[ok_rows]
         return n >= self.cfg.tracking.min_matches_track, track_pt, pose
 
-    def _track_reference_keyframe(self, frame: FrameData):
-        """Tracking.cc:766-808: match against ref KF, optimize from last pose."""
+    def _track_reference_keyframe(self, frame: FrameData, seed_pose=None):
+        """Tracking.cc:766-808: match against ref KF, optimize from last pose.
+
+        ``seed_pose`` overrides the GN seed (default: last frame's pose) —
+        used by the pipelined-decision recovery path, where the last frame's
+        optimistic pose is known-bad."""
         m = self.m
         kf = self.ref_kf
         if kf < 0:
             return False, np.full(frame.feat.capacity, -1, np.int32), frame.pose
+        if seed_pose is None:
+            seed_pose = self.last_frame.pose
         kf_obs = self.host.obs_pt[kf]
         cand = kf_obs >= 0
         pt_ids = np.where(cand, kf_obs, 0)
@@ -1023,9 +1117,9 @@ class Tracker:
             pt_octave = self._ref_kf_frame.feat.octave
         else:
             pt_octave = m.kf_octave[kf]
-        # Wide search from the last pose (BoW-free stand-in for SearchByBoW).
+        # Wide search from the seed pose (BoW-free stand-in for SearchByBoW).
         pose, idx, inliers, n_inl = _track_motion_step(
-            self.last_frame.pose, pt_xyz, pt_desc, pt_octave, pt_valid,
+            seed_pose, pt_xyz, pt_desc, pt_octave, pt_valid,
             frame.feat, frame.inv_sigma2, self.intr,
             self.cfg.matcher.search_radius_init, self.cfg.orb.scale_factor,
             self.wh, opt_cfg=self.cfg.optimizer,
@@ -1128,6 +1222,10 @@ class Tracker:
         (``Tracking.cc:1010-1026``), and the reference-match ratio drops to
         0.75 (``:1028-1033``)."""
         tcfg = self.cfg.tracking
+        if self.only_tracking:
+            # Localization-only mode never inserts keyframes
+            # (Tracking.cc:986-991 mbOnlyTracking early-return).
+            return False
         if self.ref_kf < 0:
             return False
         mapper_idle = self.local_mapper is None or self.local_mapper.is_idle()
@@ -1177,13 +1275,17 @@ class Tracker:
             and frame.depth is None
         )
         if use_async:
-            # track_pt may still be a device array: the worker materializes
-            # it (obs_pt row, journal) off the tracking thread.  The local
-            # point set already contains everything this frame tracked (the
-            # matches CAME from it); the worker's _refresh_local_points picks
-            # up newly triangulated points right after mapping.
+            # The obs_pt row MUST land before the worker runs: ref-KF
+            # tracking, _need_new_keyframe (n_ref) and _local_point_ids all
+            # read it from the tracking thread, and a reused culled slot
+            # still holds another keyframe's bindings.  track_pt's dispatch
+            # already completed (its inlier count was read), so this pull is
+            # a small ready-buffer D2H copy, not a queue drain.
+            track_pt_np = np.asarray(track_pt)
+            self.host.obs_pt[kf] = track_pt_np
+            self.last_track_pt = track_pt_np
             self.runner.submit(
-                self._process_keyframe_mapside, kf, frame, track_pt,
+                self._process_keyframe_mapside, kf, frame, track_pt_np,
                 new_xyz, new_pids,
             )
             return

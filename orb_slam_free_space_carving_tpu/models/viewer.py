@@ -217,7 +217,11 @@ class Viewer:
     :meth:`render_once` for on-demand frames.  No GL, no window: downstream
     sinks (tests, PNG writers, HTTP) consume ``latest``."""
 
-    def __init__(self, system, fps: float = 30.0, map_size: int = 512):
+    def __init__(self, system, fps: float = 4.0, map_size: int = 512):
+        # Default 4 Hz, not the reference's 30 (Viewer.cc mT=1e3/fps): every
+        # render pulls device arrays (kf_pose inverse, feature uv, bindings)
+        # from a background thread, and that transfer traffic competes with
+        # the fused tracking dispatch on the single device queue.
         self.system = system
         self.frame_drawer = FrameDrawer()
         self.map_drawer = MapDrawer(size=map_size)
@@ -237,8 +241,12 @@ class Viewer:
         # viewer thread, never on the per-frame hot path.
         t = sysm.tracker
         img = getattr(sysm, "_prev_img", None)
-        if img is not None and t.last_frame is not None:
-            feat = t.last_frame.feat
+        # Snapshot tracker fields once: the tracking thread swaps
+        # last_frame/_track_pt_dev per frame, and reading each attribute
+        # twice could pair a new frame with an old binding array.
+        last_frame = t.last_frame
+        if img is not None and last_frame is not None:
+            feat = last_frame.feat
             tp = t._track_pt_dev if t._track_pt_dev is not None else t.last_track_pt
             if tp is not None:
                 self.frame_drawer.update(
@@ -252,9 +260,9 @@ class Viewer:
         m = sysm.map_arrays
         inv = np.asarray(lie.se3_inverse(m.kf_pose))
         cur = None
-        t = sysm.tracker
-        if t.last_frame is not None and t.state == trk.OK:
-            cur = np.asarray(lie.se3_inverse(t.last_frame.pose))[4:7]
+        last_frame = sysm.tracker.last_frame
+        if last_frame is not None and sysm.tracker.state == trk.OK:
+            cur = np.asarray(lie.se3_inverse(last_frame.pose))[4:7]
         out["map"] = self.map_drawer.draw(
             np.asarray(m.pt_xyz), host.pt_valid, inv[:, 4:7], host.kf_valid,
             cur_center=cur, parent=host.parent,

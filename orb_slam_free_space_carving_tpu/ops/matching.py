@@ -18,20 +18,34 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from orb_slam_free_space_carving_tpu.ops.orb import unpack_bits
-
 BIG = jnp.float32(1e9)
 
 
 def hamming_matrix(desc_a_u8: jnp.ndarray, desc_b_u8: jnp.ndarray,
-                   dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Dense Hamming distances [N,M] from packed descriptors [N,32],[M,32]."""
-    a = unpack_bits(desc_a_u8, dtype)
-    b = unpack_bits(desc_b_u8, dtype)
-    pa = jnp.sum(a, axis=-1, dtype=jnp.float32)
-    pb = jnp.sum(b, axis=-1, dtype=jnp.float32)
-    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    return pa[:, None] + pb[None, :] - 2.0 * cross
+                   dtype=None) -> jnp.ndarray:
+    """Dense Hamming distances [N,M] from packed descriptors [N,32],[M,32].
+
+    Signed-bit MXU form: with s = 1-2*bit in {+1,-1} int8,
+    <s_a, s_b> = 256 - 2*hamming, so one int8 [N,256]x[256,M] matmul with an
+    int32 accumulator gives the EXACT integer distance (vs the additive
+    popcount identity in bf16) and runs ~20% faster on the v5e MXU
+    (scripts/probe_hamming.py: 0.55 ms vs 0.70 ms device time at 1024^2).
+    ``dtype`` is accepted for backwards compatibility and ignored.
+    """
+    sa = _unpack_pm1(desc_a_u8)
+    sb = _unpack_pm1(desc_b_u8)
+    dot = jax.lax.dot_general(
+        sa, sb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return ((256 - dot) // 2).astype(jnp.float32)
+
+
+def _unpack_pm1(d_u8: jnp.ndarray) -> jnp.ndarray:
+    """[...,32] packed u8 -> [...,256] signed bits {+1,-1} int8."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (d_u8[..., :, None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(d_u8.shape[:-1] + (256,))
+    return (1 - 2 * bits.astype(jnp.int8)).astype(jnp.int8)
 
 
 def masked_match(dist: jnp.ndarray, mask: jnp.ndarray,

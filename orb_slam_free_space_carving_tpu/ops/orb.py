@@ -131,7 +131,17 @@ def _shift_rows_zero(S, k):
 
 
 def _moment_maps(img: jnp.ndarray):
-    """Dense IC moments (m10, m01) int32 [H,W] over the radius-15 circle."""
+    """Dense IC moments (m10, m01) int32 [H,W] over the radius-15 circle.
+
+    Overflow note: the row-weighted prefix ``T`` reaches ~255*H^2/2 and wraps
+    int32 for images taller than ~4000 px.  That wrap is HARMLESS: XLA
+    integer adds are two's-complement modular, every consumed quantity is a
+    *difference* of prefixes over a <=31-row window (< 2^31 in true value),
+    and modular arithmetic makes such differences exact regardless of
+    intermediate wrap.  The final ``m01 = s_rw - rows*s_col`` is likewise a
+    small true value (<= 255*31^2*15) of wrapped terms, hence exact for any
+    image height.
+    """
     img_i = img.astype(jnp.int32)
     H = img.shape[0]
     P = jnp.cumsum(img_i, axis=0)                       # [H,W] column prefix
