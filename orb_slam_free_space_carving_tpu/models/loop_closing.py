@@ -31,6 +31,76 @@ from orb_slam_free_space_carving_tpu.ops import bow, horn, matching, pnp, sim3op
 from orb_slam_free_space_carving_tpu.utils import camera, lie
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cands", "n_words", "min_inliers")
+)
+def _fused_relocalize(m, bow_db, bow_mask, codebook, feat, intr, key,
+                      n_cands=8, n_words=4096, min_inliers=25):
+    """ONE dispatch for the whole relocalization attempt
+    (``Tracking.cc:1350-1511`` + ``KeyFrameDatabase.cc:199-309``):
+
+    BoW-score every keyframe -> top-k candidates -> per-candidate
+    unwindowed descriptor match against the candidate's observed points ->
+    batched PnP RANSAC per candidate -> first success in score order.
+
+    The previous host loop re-traced per candidate (`pt_desc[pids]` with a
+    data-dependent size) and ran the matchers eagerly — 127 tiny programs
+    and 4.6 s/frame through the TPU tunnel.  All shapes here are static:
+    candidates are the top ``n_cands`` rows of the device-resident obs
+    table, padded matches carry masks.
+    """
+    Mf = feat.capacity
+    P = m.pt_xyz.shape[0]
+
+    vec = bow.bow_vector(feat.desc, feat.valid, codebook, n_words=n_words)
+    scores = bow.bow_l1_scores(vec, bow_db, bow_mask)
+    top_s, top_kf = jax.lax.top_k(scores, n_cands)
+
+    obs = m.obs_pt[top_kf]                       # [C,N0] point ids (-1 none)
+    has = obs >= 0
+    pids = jnp.clip(obs, 0, P - 1)
+    pdesc = m.pt_desc[pids]                      # [C,N0,32]
+    pxyz = m.pt_xyz[pids]                        # [C,N0,3]
+    pvalid = m.pt_valid[pids] & has
+
+    def per_cand(desc_c, valid_c, xyz_c, k):
+        dist = matching.hamming_matrix(desc_c, feat.desc)
+        mask = valid_c[:, None] & feat.valid[None, :]
+        idx, best = matching.masked_match(dist, mask, max_dist=50.0,
+                                          ratio=0.75)
+        idx = matching._dedup_targets(idx, best, Mf)
+        matched = idx >= 0
+        sel = jnp.clip(idx, 0, Mf - 1)
+        uv = feat.uv_und[sel]
+        res = pnp.solve_pnp_ransac(
+            xyz_c, uv, matched, intr, k, min_inliers=min_inliers
+        )
+        return idx, jnp.sum(matched), res
+
+    keys = jax.random.split(key, n_cands)
+    idx_c, n_match_c, res_c = jax.vmap(per_cand)(pdesc, pvalid, pxyz, keys)
+
+    # Reference gates: candidate must have >=15 BoW matches (:1389-1399) and
+    # a positive similarity score; take the first success in score order.
+    ok_c = res_c.ok & (top_s > 0) & (n_match_c >= 15)
+    win = jnp.argmax(ok_c)                       # first True (score order)
+    any_ok = jnp.any(ok_c)
+    pose = res_c.pose[win]
+
+    idx_w = idx_c[win]                           # [N0] -> feature index
+    inl_w = res_c.inliers[win]                   # [N0]
+    obs_w = obs[win]
+    good = (idx_w >= 0) & inl_w
+    tgt = jnp.where(good, idx_w, Mf)
+    track_pt = jnp.full((Mf,), -1, jnp.int32).at[tgt].set(
+        jnp.where(good, obs_w, -1).astype(jnp.int32), mode="drop"
+    )
+    return any_ok, pose, track_pt, res_c.n_inliers[win]
+
+
 @jax.jit
 def _batched_rel_sims(all_sims, ei, ej, emask):
     """rel[e] = S_i o S_j^-1 for every edge in one vmapped pass."""
@@ -744,54 +814,19 @@ class LoopCloser:
     # Relocalization (Tracking.cc:1350-1511)
     # ------------------------------------------------------------------
     def relocalize(self, frame) -> Tuple[bool, np.ndarray, jnp.ndarray]:
-        track_pt = np.full(frame.feat.capacity, -1, np.int32)
         if not self.bow_mask.any():
-            return False, track_pt, frame.pose
-        m = self.m
-        vec = bow.bow_vector(
-            frame.feat.desc, frame.feat.valid, self._codebook,
+            return (False, np.full(frame.feat.capacity, -1, np.int32),
+                    frame.pose)
+        any_ok, pose, track_pt, _n_inl = _fused_relocalize(
+            self.m, self.bow_db, jnp.asarray(self.bow_mask), self._codebook,
+            frame.feat, self.intr, self._next_key(),
+            n_cands=self.cfg.tracking.reloc_max_candidates,
             n_words=self.cfg.loop.vocab_words,
+            min_inliers=max(
+                15, self.cfg.tracking.min_matches_after_reloc // 2
+            ),
         )
-        scores = np.asarray(
-            bow.bow_l1_scores(vec, self.bow_db, jnp.asarray(self.bow_mask))
-        )
-        cands = np.argsort(-scores)[: self.cfg.tracking.reloc_max_candidates]
-        for kf in cands:
-            kf = int(kf)
-            if scores[kf] <= 0:
-                break
-            obs = self.host.obs_pt[kf]
-            feats = np.where(obs >= 0)[0]
-            if feats.size < 15:
-                continue
-            pids = obs[feats]
-            pt_desc = m.pt_desc[jnp.asarray(pids)]
-            dist = matching.hamming_matrix(pt_desc, frame.feat.desc)
-            mask = jnp.ones(dist.shape, bool) & frame.feat.valid[None, :]
-            idx, best = matching.masked_match(dist, mask, max_dist=50.0, ratio=0.75)
-            idx_np = np.asarray(idx)
-            rows = np.where(idx_np >= 0)[0]
-            if rows.size < 15:
-                continue
-            CAP = 512
-            n = min(rows.size, CAP)
-            ptsw = np.zeros((CAP, 3), np.float32)
-            uv = np.zeros((CAP, 2), np.float32)
-            mk = np.zeros(CAP, bool)
-            xyz = np.asarray(m.pt_xyz)
-            uv_np = np.asarray(frame.feat.uv_und)
-            ptsw[:n] = xyz[pids[rows[:n]]]
-            uv[:n] = uv_np[idx_np[rows[:n]]]
-            mk[:n] = True
-            res = pnp.solve_pnp_ransac(
-                jnp.asarray(ptsw), jnp.asarray(uv), jnp.asarray(mk),
-                self.intr, self._next_key(),
-                min_inliers=max(15, self.cfg.tracking.min_matches_after_reloc // 2),
-            )
-            if bool(res.ok):
-                inl = np.asarray(res.inliers)
-                for r in range(n):
-                    if inl[r]:
-                        track_pt[idx_np[rows[r]]] = pids[rows[r]]
-                return True, track_pt, res.pose
-        return False, track_pt, frame.pose
+        if not bool(any_ok):
+            return (False, np.full(frame.feat.capacity, -1, np.int32),
+                    frame.pose)
+        return True, np.asarray(track_pt), pose
