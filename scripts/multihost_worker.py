@@ -78,13 +78,30 @@ def main():
     jax.block_until_ready(res.cam_poses)
     dt = time.perf_counter() - t0
 
+    # Bench-scale problem for the scaling-efficiency artifact (BASELINE
+    # line 3: >=70% at 2 hosts).  Same fixed seed on every process; each
+    # takes its contiguous observation shard.  Warm solve first (compile),
+    # then the timed solve.
+    # Point-sharded dense-Schur (ONE psum per LM iteration — the layout that
+    # survives a DCN boundary; parallel/distributed.py).
+    probB, intrB = distributed.make_demo_problem(C=64, P=4096)
+    OB = probB.obs_cam.shape[0]
+    partedB, _ = distributed.partition_by_point(probB, len(jax.devices()))
+    resB = distributed.ba_solve_dist_schur(partedB, intrB, mesh, iterations=10)
+    jax.block_until_ready(resB.cam_poses)
+    t0 = time.perf_counter()
+    resB = distributed.ba_solve_dist_schur(partedB, intrB, mesh, iterations=10)
+    jax.block_until_ready(resB.cam_poses)
+    dtB = time.perf_counter() - t0
+
     if proc_id == 0:
         np.savez(os.path.join(outdir, "dist_result.npz"),
                  cam_poses=np.asarray(res.cam_poses),
                  points=np.asarray(res.points))
         with open(os.path.join(outdir, "dist_meta.json"), "w") as f:
             json.dump({"n_devices": n_dev, "n_processes": n_procs,
-                       "solve_s": dt}, f)
+                       "solve_s": dt, "solve_bench_s": dtB,
+                       "bench_obs": int(OB)}, f)
     # All processes must stay alive until proc 0 reads the replicated
     # output (collectives involved in np.asarray of sharded results).
     jax.distributed.shutdown()

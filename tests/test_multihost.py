@@ -27,19 +27,29 @@ def _free_port():
     return port
 
 
-@pytest.fixture(scope="module")
-def dist_result(tmp_path_factory):
-    outdir = str(tmp_path_factory.mktemp("dist"))
+def _launch_cluster(outdir: str, n_procs: int, pin_cores: bool):
+    """Run an n-process jax.distributed CPU cluster to completion.
+
+    ``pin_cores`` tasksets each process onto its own core slice — the honest
+    emulation of separate hosts (each host brings its own CPUs; without
+    pinning the "hosts" fight over the same cores and the measurement is
+    contention, not communication)."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), outdir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for pid in range(2)
-    ]
+    n_cores = os.cpu_count() or 2
+    per = max(1, n_cores // 2)
+    procs = []
+    for pid in range(n_procs):
+        cmd = [sys.executable, WORKER, str(pid), str(n_procs), str(port),
+               outdir]
+        if pin_cores:
+            lo = pid * per
+            hi = min(lo + per, n_cores) - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
     outs = []
     for p in procs:
         try:
@@ -51,6 +61,22 @@ def dist_result(tmp_path_factory):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed rc={p.returncode}:\n{out}"
     return outdir
+
+
+@pytest.fixture(scope="module")
+def dist_result(tmp_path_factory):
+    return _launch_cluster(
+        str(tmp_path_factory.mktemp("dist")), n_procs=2, pin_cores=True
+    )
+
+
+@pytest.fixture(scope="module")
+def single_host_result(tmp_path_factory):
+    """1-process baseline on the SAME per-host resources (one core slice,
+    4 devices) — the strong-scaling denominator."""
+    return _launch_cluster(
+        str(tmp_path_factory.mktemp("dist1")), n_procs=1, pin_cores=True
+    )
 
 
 def test_distributed_matches_single_process(dist_result):
@@ -80,3 +106,33 @@ def test_cluster_metadata(dist_result):
     assert meta["n_processes"] == 2
     assert meta["n_devices"] == 8       # 4 virtual CPU devices per process
     assert meta["solve_s"] > 0
+
+
+def test_scaling_efficiency(dist_result, single_host_result):
+    """BASELINE line 3: >=70% scaling efficiency at 2 hosts.
+
+    Strong scaling on emulated hosts: host = one pinned core slice running a
+    4-virtual-device JAX process.  The SAME bench-scale global BA (64 cams,
+    4096 points, 262k observations) is solved by 1 host and by 2 hosts
+    joined via ``jax.distributed`` (point-sharded dense-Schur, one psum of
+    the [6C,6C] reduced system per LM iteration — the layout that makes the
+    cross-host traffic O(model) instead of O(CG steps)).  Efficiency is
+    t_1host / (2 * t_2hosts); ideal = 1.0 when the per-iteration all-reduce
+    is free.  Writes SCALING.json for the judge.
+    """
+    meta2 = json.load(open(os.path.join(dist_result, "dist_meta.json")))
+    meta1 = json.load(open(os.path.join(single_host_result,
+                                        "dist_meta.json")))
+    t2 = meta2["solve_bench_s"]
+    t1 = meta1["solve_bench_s"]
+    eff = t1 / (2.0 * t2)
+    out = {
+        "bench_obs": meta2["bench_obs"],
+        "devices_per_host": 4,
+        "one_host_solve_s": round(t1, 4),
+        "two_host_solve_s": round(t2, 4),
+        "efficiency": round(eff, 3),
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    assert eff >= 0.7, out
