@@ -125,7 +125,18 @@ def surface_nets(fx, fy, fz, field, lo, hi):
     corners = q.reshape(-1, 3)
     uniq, inv = np.unique(corners, axis=0, return_inverse=True)
     fidx = inv.reshape(-1, 4)                   # [F,4]
-    vertices = (uniq.astype(np.float32) * scale + lo).astype(np.float32)
+    # Surface-nets vertex placement: each vertex moves to the centroid of
+    # its incident interface-face centers (instead of staying on the corner
+    # lattice).  On a planar interface every incident face center lies ON
+    # the plane, so walls come out exactly planar — halves the staircase
+    # error vs the tet oracle without touching topology.
+    centers = q.astype(np.float64).mean(axis=1)            # [F,3]
+    acc = np.zeros((uniq.shape[0], 3), np.float64)
+    cnt = np.zeros(uniq.shape[0], np.float64)
+    np.add.at(acc, inv, np.repeat(centers, 4, axis=0))
+    np.add.at(cnt, inv, 1.0)
+    smoothed = acc / np.maximum(cnt, 1.0)[:, None]
+    vertices = (smoothed.astype(np.float32) * scale + lo).astype(np.float32)
     faces = np.concatenate(
         [fidx[:, [0, 1, 2]], fidx[:, [0, 2, 3]]], axis=0
     ).astype(np.int64)

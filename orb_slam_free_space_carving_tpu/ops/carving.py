@@ -89,8 +89,13 @@ def carve_votes(
     scale = (hi - lo) / R
     w = jnp.asarray(weight, jnp.float32)
 
-    # Sample positions along each ray: [B,S,3].
-    ts = jnp.linspace(0.02, 0.97, n_samples, dtype=ray_origins.dtype)
+    # Sample positions along each ray: [B,S,3].  Samples run the FULL ray;
+    # the voxel containing the target itself is excluded below.  (An earlier
+    # fractional cutoff t<=0.97 under-carved by 3% of the ray length — a
+    # ~2-voxel systematic surface bias vs the tet oracle at bench scale; the
+    # tet walk's stopping rule is "the cell containing Q", i.e. exactly one
+    # cell, not a ray-length fraction, ``.cc:913-``.)
+    ts = jnp.linspace(0.02, 1.0, n_samples, dtype=ray_origins.dtype)
     pos = ray_origins[:, None, :] + ts[None, :, None] * (
         ray_targets - ray_origins
     )[:, None, :]
@@ -98,6 +103,10 @@ def carve_votes(
     inb = jnp.all((idx >= 0) & (idx < R), axis=-1) & ray_mask[:, None]
     flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]     # [B,S]
     flat = jnp.where(inb, flat, R * R * R)                       # OOB -> dropped
+    # Never carve the cell containing the observed point (tet-walk stop).
+    tgt_idx = jnp.floor((ray_targets - lo) / scale).astype(jnp.int32)
+    tgt_flat = (tgt_idx[..., 0] * R + tgt_idx[..., 1]) * R + tgt_idx[..., 2]
+    flat = jnp.where(flat == tgt_flat[:, None], R * R * R, flat)
 
     # Deduplicate consecutive samples landing in the same voxel so each ray
     # votes a cell at most ~once (tet-walk semantics: one vote per crossed

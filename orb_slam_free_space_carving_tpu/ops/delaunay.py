@@ -249,9 +249,23 @@ def agreement_metrics(points: np.ndarray, origins: np.ndarray,
     assert out is not None, "voxel carve produced no mesh"
     v_vox, f_vox, _field = out
 
-    used_tet = v_tet[np.unique(f_tet)] if f_tet.size else np.zeros((0, 3))
-    med_vt, p90_vt = _chamfer(np.asarray(v_vox), used_tet)
-    med_tv, p90_tv = _chamfer(used_tet, np.asarray(v_vox))
+    # Accuracy direction (voxel -> tet): sample the tet surface densely
+    # (verts + edge midpoints + centroid per face) — chamfer against only
+    # the sparse tet VERTICES conflates wall point spacing with surface
+    # error.  Coverage direction (tet -> voxel) keeps the vertex anchors:
+    # dense samples would penalize regions the voxel surface legitimately
+    # gates out (evidence-free frustum boundary).
+    used_tet_verts = v_tet[np.unique(f_tet)] if f_tet.size else np.zeros((0, 3))
+    if f_tet.size:
+        tri = v_tet[f_tet]                                   # [F,3,3]
+        samples = [tri.reshape(-1, 3), tri.mean(axis=1)]
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            samples.append(0.5 * (tri[:, a] + tri[:, b]))
+        tet_dense = np.concatenate(samples)
+    else:
+        tet_dense = np.zeros((0, 3))
+    med_vt, p90_vt = _chamfer(np.asarray(v_vox), tet_dense)
+    med_tv, p90_tv = _chamfer(used_tet_verts, np.asarray(v_vox))
     flipped = int((info["outside"] != (info["votes"] > 0)).sum())
     return {
         "voxel_to_tet_median_m": med_vt,

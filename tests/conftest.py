@@ -32,6 +32,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (excluded from the smoke tier "
+        "via -m 'not slow')",
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -86,19 +86,88 @@ class TestOracleCarve:
         assert f.min() >= 0 and f.max() < pts.shape[0]
 
 
+def l_room_constraints(n_wall_pts=200, n_cams=10, seed=1, e=2.0):
+    """CONCAVE scene: an L-shaped room (box minus a notch quadrant).  The
+    notch corner occludes lines between the left arm and the notch-side
+    wall, so visibility filtering genuinely matters — a convex room never
+    exercises the occlusion side of the carve."""
+    rng = np.random.default_rng(seed)
+
+    def inside(x, z):
+        return (-e <= x <= e) and (0 <= z <= 2 * e) and not (x > 0 and z > e)
+
+    # Vertical wall segments of the L footprint as (p0, p1) in (x, z).
+    segs = [((-e, 0), (e, 0)), ((e, 0), (e, e)), ((e, e), (0, e)),
+            ((0, e), (0, 2 * e)), ((0, 2 * e), (-e, 2 * e)),
+            ((-e, 2 * e), (-e, 0))]
+    pts = []
+    for _ in range(n_wall_pts):
+        kind = rng.integers(0, 8)
+        if kind < 6:                      # vertical walls
+            (x0, z0), (x1, z1) = segs[kind]
+            t = rng.uniform()
+            x, z = x0 + t * (x1 - x0), z0 + t * (z1 - z0)
+            y = rng.uniform(-e, e)
+        else:                             # floor / ceiling
+            while True:
+                x = rng.uniform(-e, e)
+                z = rng.uniform(0, 2 * e)
+                if inside(x, z):
+                    break
+            y = -e if kind == 6 else e
+        pts.append([x, y, z])
+    pts = np.asarray(pts, np.float64)
+
+    cams = []
+    while len(cams) < n_cams:
+        x = rng.uniform(-0.9 * e, 0.9 * e)
+        z = rng.uniform(0.1 * e, 1.9 * e)
+        if inside(x, z) and inside(x + 0.1, z) and inside(x - 0.1, z):
+            cams.append([x, rng.uniform(-0.4 * e, 0.4 * e), z])
+    cams = np.asarray(cams)
+
+    # Visibility: the (cam, point) segment must stay inside the footprint.
+    origins, targets = [], []
+    tsamp = np.linspace(0.02, 0.98, 32)
+    for c in cams:
+        for p in pts:
+            seg = c[None, :] + tsamp[:, None] * (p - c)[None, :]
+            if all(inside(x, z) for x, z in zip(seg[:, 0], seg[:, 2])):
+                origins.append(c)
+                targets.append(p)
+    return (pts, np.asarray(origins), np.asarray(targets), cams)
+
+
+def _voxel_size(targets, ccfg):
+    lo = np.percentile(targets, 2.0, axis=0)
+    hi = np.percentile(targets, 98.0, axis=0)
+    return float((hi - lo).max() * ccfg.bounds_scale / ccfg.grid_resolution)
+
+
 class TestVoxelTetAgreement:
     def test_agreement_and_artifact(self, carved, tmp_path):
+        """Sub-voxel agreement on the convex room AND the concave L-room
+        (VERDICT r3 do #7: median voxel->tet error below one voxel size)."""
         pts, origins, targets, cams, *_ = carved
         ccfg = CarvingConfig(grid_resolution=64, ray_samples=96)
-        metrics = delaunay.agreement_metrics(
-            pts.astype(np.float32), origins.astype(np.float32),
-            targets.astype(np.float32), ccfg)
-        # Voxel surface within ~2 voxel sizes of the tet surface (room is
-        # 4 m wide; resolution 64 -> ~0.09 m voxels).
-        assert metrics["voxel_to_tet_median_m"] < 0.25, metrics
-        assert metrics["tet_to_voxel_median_m"] < 0.25, metrics
-        out = os.path.join(os.path.dirname(os.path.dirname(
+        out = {}
+        scenes = {
+            "room": (pts, origins, targets),
+            "l_room": l_room_constraints()[:3],
+        }
+        for name, (p, o, t) in scenes.items():
+            metrics = delaunay.agreement_metrics(
+                p.astype(np.float32), o.astype(np.float32),
+                t.astype(np.float32), ccfg)
+            vox = _voxel_size(t, ccfg)
+            metrics["voxel_size_m"] = vox
+            # Accuracy: voxel surface within one voxel of the tet surface.
+            assert metrics["voxel_to_tet_median_m"] < vox, (name, metrics)
+            # Coverage: every tet anchor has voxel surface within ~3 voxels.
+            assert metrics["tet_to_voxel_median_m"] < 3 * vox, (name, metrics)
+            out[name] = {k: (v if isinstance(v, int) else round(v, 4))
+                         for k, v in metrics.items()}
+        path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "ORACLE_AGREEMENT.json")
-        with open(out, "w") as fh:
-            json.dump({k: (v if isinstance(v, int) else round(v, 4))
-                       for k, v in metrics.items()}, fh, indent=1)
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
