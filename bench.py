@@ -128,6 +128,7 @@ def main():
         "n_inc_recarves": sysm.carver.n_inc_updates if sysm.carver else 0,
         "n_loops": sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0,
         "platform": jax.devices()[0].platform,
+        "events": timing.event_counts(),
         "stages": timing.snapshot(),
     }
     sysm.shutdown()

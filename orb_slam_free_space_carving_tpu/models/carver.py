@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,29 +84,47 @@ def carve_mesh(origins: np.ndarray, targets: np.ndarray, ccfg):
     ev_dil = carving.dilate_evidence(evidence, radius=ccfg.evidence_dilation)
     fx, fy, fz = carving.boundary_faces(field, ev_dil)
 
-    field_np = np.asarray(field)
-    verts, faces = surface_nets(
-        np.asarray(fx), np.asarray(fy), np.asarray(fz),
-        field_np, np.asarray(lo), np.asarray(hi),
+    R = ccfg.grid_resolution
+    cells, counts = carving.extract_face_cells(fx, fy, fz, cap=6 * R * R)
+    cells_np, counts_np = jax.device_get((cells, counts))
+    verts, faces = surface_nets_cells(
+        cells_np, counts_np, R, lo_np.astype(np.float32),
+        hi_np.astype(np.float32),
     )
-    return verts, faces, field_np
+    return verts, faces, field
 
 
 def surface_nets(fx, fy, fz, field, lo, hi):
-    """Vectorized boundary-face mesh: one quad (two triangles) per voxel
-    face on the free/occupied interface, vertices on the corner lattice
-    (dedup via np.unique).
+    """Grid-input wrapper around :func:`surface_nets_cells` (kept for the
+    transcript/incremental paths that already hold host grids)."""
+    R = field.shape[0]
+    cells = [np.argwhere(g).astype(np.int32) for g in (fx, fy, fz)]
+    cap = max(1, max(c.shape[0] for c in cells))
+    padded = np.full((3, cap, 3), -1, np.int32)
+    counts = np.zeros(3, np.int32)
+    for i, c in enumerate(cells):
+        padded[i, : c.shape[0]] = c
+        counts[i] = c.shape[0]
+    return surface_nets_cells(padded, counts, R, lo, hi)
+
+
+def surface_nets_cells(cells_np, counts_np, R, lo, hi):
+    """Vectorized boundary-face mesh from per-axis face-cell index lists
+    ([3, cap, 3], invalid rows = -1): one quad (two triangles) per voxel
+    face on the free/occupied interface; vertices at the centroid of their
+    incident face centers (sub-voxel surface-nets placement, dedup via
+    np.unique).
 
     Watertight on the interface — the voxel analog of the reference's
     "facets between kept and carved tets"
     (``tetsToTris_maxFlowSimple`` ``.cc:1617-1655``).
     """
-    R = field.shape[0]
-    scale = (hi - lo) / R
+    scale = (np.asarray(hi) - np.asarray(lo)) / R
 
     quads = []  # [F,4,3] corner lattice indices
-    for ax, fgrid in ((0, fx), (1, fy), (2, fz)):
-        cells = np.argwhere(fgrid)              # [F,3]
+    for ax in range(3):
+        cells = cells_np[ax]
+        cells = cells[cells[:, 0] >= 0][: int(counts_np[ax])]
         if cells.size == 0:
             continue
         t1 = (ax + 1) % 3
@@ -545,12 +564,14 @@ class Carver:
         ev_dil = carving.dilate_evidence(
             self._evidence, radius=ccfg.evidence_dilation)
         fx, fy, fz = carving.boundary_faces(field, ev_dil)
-        field_np = np.asarray(field)
-        verts, faces = surface_nets(
-            np.asarray(fx), np.asarray(fy), np.asarray(fz),
-            field_np, self._lo.astype(np.float32), self._hi.astype(np.float32),
+        R = self.cfg.carving.grid_resolution
+        cells, counts = carving.extract_face_cells(fx, fy, fz, cap=6 * R * R)
+        cells_np, counts_np = jax.device_get((cells, counts))
+        verts, faces = surface_nets_cells(
+            cells_np, counts_np, R,
+            self._lo.astype(np.float32), self._hi.astype(np.float32),
         )
-        self.vertices, self.faces, self.field = verts, faces, field_np
+        self.vertices, self.faces, self.field = verts, faces, field
         return True
 
     # ------------------------------------------------------------------

@@ -34,14 +34,22 @@ from orb_slam_free_space_carving_tpu.ops import ba, matching, triangulation as t
 from orb_slam_free_space_carving_tpu.utils import camera, lie, timing
 
 
+def _pow2(n: int, lo: int = 64) -> int:
+    """Static bucket size for data-dependent batch lengths: every distinct
+    shape is a fresh XLA compile through the TPU tunnel (seconds each), so
+    variable-size device updates pad to power-of-two buckets and mask."""
+    return max(lo, 1 << max(int(n) - 1, 0).bit_length())
+
+
 # ---------------------------------------------------------------------------
 # Jitted kernels
 # ---------------------------------------------------------------------------
 
 @jax.jit
 def _epipolar_triangulate_batch(
-    pose1, pose2_b, uv1, oct1, ang1, desc1, free1,
-    uv2_b, oct2_b, ang2_b, desc2_b, free2_b, intr, inv_sigma2_by_level,
+    pose1, pose2_b, uv1, oct1, ang1, desc1, free1, word1,
+    uv2_b, oct2_b, ang2_b, desc2_b, free2_b, word2_b, intr,
+    inv_sigma2_by_level,
 ):
     """vmapped :func:`_epipolar_triangulate_pair` over a padded neighbor batch
     — ONE dispatch triangulates the new keyframe against all covisible
@@ -49,10 +57,74 @@ def _epipolar_triangulate_batch(
     ``LocalMapping.cc:250-``)."""
     return jax.vmap(
         _epipolar_triangulate_pair,
-        in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0, 0,
-                 None, None),
-    )(pose1, pose2_b, uv1, oct1, ang1, desc1, free1,
-      uv2_b, oct2_b, ang2_b, desc2_b, free2_b, intr, inv_sigma2_by_level)
+        in_axes=(None, 0, None, None, None, None, None, None, 0, 0, 0, 0,
+                 0, 0, None, None),
+    )(pose1, pose2_b, uv1, oct1, ang1, desc1, free1, word1,
+      uv2_b, oct2_b, ang2_b, desc2_b, free2_b, word2_b, intr,
+      inv_sigma2_by_level)
+
+
+@jax.jit
+def _create_points_fused(m, kf, nbp, nb_mask, own_row, nb_obs_rows, codebook,
+                         intr, inv_sigma2_by_level):
+    """ONE dispatch for the whole CreateNewMapPoints numeric pipeline
+    (``LocalMapping.cc:220-465``): median-depth + baseline gates, vocabulary
+    node assignment for the keyframe and every neighbor, epipolar-gated
+    same-node matching, batched DLT + GN triangulation, acceptance cascade,
+    and first-good-neighbor conflict resolution.
+
+    The previous host orchestration issued ~30 eager device ops + several
+    full-array pulls per keyframe; over the TPU tunnel (~2-25 ms per RPC,
+    serialized against the tracking thread's dispatches) that cost seconds
+    per keyframe — the direct cause of worker backlog and keyframe
+    starvation.  Returns per-feature (first_nb, feats2, xyz, any_good) and
+    the per-neighbor keep mask; the host only allocates ids and scatters.
+    """
+    from orb_slam_free_space_carving_tpu.ops import bow
+
+    M = m.pt_xyz.shape[0]
+    pose1 = m.kf_pose[kf]
+    c1 = lie.se3_inverse(pose1)[4:7]
+
+    # Median scene depth over the keyframe's bound points (gate :250-274).
+    own_valid = own_row >= 0
+    pts_own = m.pt_xyz[jnp.clip(own_row, 0, M - 1)]
+    z_own = lie.se3_apply(pose1, pts_own)[..., 2]
+    z_sorted = jnp.sort(jnp.where(own_valid, z_own, jnp.inf))
+    n_own = jnp.sum(own_valid)
+    med_depth = z_sorted[jnp.clip(n_own // 2, 0, z_own.shape[0] - 1)]
+
+    centers = lie.se3_inverse(m.kf_pose[nbp])[:, 4:7]
+    baselines = jnp.linalg.norm(centers - c1, axis=-1)
+    keep = nb_mask & (baselines / jnp.maximum(med_depth, 1e-9) >= 0.01) \
+        & (n_own >= 10)
+
+    # Vocabulary nodes (FeatureVector analog) for kf + neighbors, in-program.
+    word1 = bow.word_ids(m.kf_desc[kf], m.kf_feat_valid[kf], codebook)
+    word2_b = jax.vmap(
+        lambda d, v: bow.word_ids(d, v, codebook)
+    )(m.kf_desc[nbp], m.kf_feat_valid[nbp])
+
+    free1 = (own_row < 0) & m.kf_feat_valid[kf]
+    free2_b = (nb_obs_rows < 0) & m.kf_feat_valid[nbp] & keep[:, None]
+
+    idx_b, xyz_b, good_b = jax.vmap(
+        _epipolar_triangulate_pair,
+        in_axes=(None, 0, None, None, None, None, None, None, 0, 0, 0, 0,
+                 0, 0, None, None),
+    )(pose1, m.kf_pose[nbp], m.kf_uv[kf], m.kf_octave[kf], m.kf_angle[kf],
+      m.kf_desc[kf], free1, word1,
+      m.kf_uv[nbp], m.kf_octave[nbp], m.kf_angle[nbp], m.kf_desc[nbp],
+      free2_b, word2_b, intr, inv_sigma2_by_level)
+
+    good_b = good_b & keep[:, None]
+    first_nb = jnp.argmax(good_b, axis=0).astype(jnp.int32)       # [N]
+    any_good = jnp.any(good_b, axis=0)
+    N = idx_b.shape[1]
+    rows = jnp.arange(N)
+    feats2 = idx_b[first_nb, rows]
+    xyz = xyz_b[first_nb, rows]
+    return first_nb, feats2, xyz, any_good
 
 
 @jax.jit
@@ -70,12 +142,18 @@ def _fuse_project_batch(pose_b, pt_xyz, pt_desc, pt_valid, pt_maxdist,
 
 
 def _epipolar_triangulate_pair(
-    pose1, pose2, uv1, oct1, ang1, desc1, free1,
-    uv2, oct2, ang2, desc2, free2, intr, inv_sigma2_by_level,
+    pose1, pose2, uv1, oct1, ang1, desc1, free1, word1,
+    uv2, oct2, ang2, desc2, free2, word2, intr, inv_sigma2_by_level,
 ):
     """Match unbound features across one keyframe pair along epipolar lines and
     triangulate (SearchForTriangulation ``ORBmatcher.cc:657-823`` + the
     triangulation block of ``LocalMapping.cc:297-463``).
+
+    ``word1``/``word2`` are vocabulary word assignments (-1 invalid): only
+    same-word pairs are match candidates — the reference's FeatureVector
+    node gate, without which wide-baseline pairs (low-covisibility
+    neighbors) hallucinate epipolar-consistent false matches that poison
+    the map.
 
     Returns (match_idx[N] into kf2 features, xyz[N,3], good[N]).
     """
@@ -112,7 +190,8 @@ def _epipolar_triangulate_pair(
     epi_far = de2[None, :] >= 100.0 * sigma2_2[None, :]
 
     dist = matching.hamming_matrix(desc1, desc2)
-    mask = epi_ok & epi_far & free1[:, None] & free2[None, :]
+    same_word = (word1[:, None] == word2[None, :]) & (word1 >= 0)[:, None]
+    mask = epi_ok & epi_far & same_word & free1[:, None] & free2[None, :]
     idx, best = matching.masked_match(dist, mask, max_dist=50.0)
     idx = matching.rotation_consistency(idx, ang1, ang2)
     idx = matching._dedup_targets(idx, best, uv2.shape[0])
@@ -189,6 +268,37 @@ class LocalMapper:
         self.kf_counter = 0
         self.ba_times_ms: List[float] = []
         self.runner = None                     # set by System (async pipeline)
+        # Vocabulary word assignments per keyframe (the FeatureVector analog
+        # used by the triangulation matcher's same-word gate).  Cached per
+        # (slot, creation seq) — a reused culled slot recomputes.
+        from orb_slam_free_space_carving_tpu.ops import bow
+
+        cb = bow.codebook(cfg.loop.vocab_words, cfg.loop.vocab_seed)
+        self._codebook = jnp.asarray(cb)
+        # Leaf word -> coarse node (the DBoW2 FeatureVector node layer; the
+        # matcher gate compares NODES — leaf equality drops ~95% of true
+        # correspondences).
+        self._node_of = jnp.asarray(np.concatenate([
+            bow.coarse_nodes_cached(cfg.loop.vocab_words,
+                                    cfg.loop.vocab_seed),
+            np.asarray([-1], np.int32),          # w = -1 indexes the tail
+        ]))
+        self._word_cache: dict = {}
+
+    def _kf_words(self, kf: int) -> jnp.ndarray:
+        """[N] int32 coarse-node ids for keyframe ``kf`` (device, cached)."""
+        from orb_slam_free_space_carving_tpu.ops import bow
+
+        seq = int(self.host.kf_seq[kf])
+        hit = self._word_cache.get(kf)
+        if hit is not None and hit[0] == seq:
+            return hit[1]
+        w = bow.word_ids(
+            self.m.kf_desc[kf], self.m.kf_feat_valid[kf], self._codebook
+        )
+        w = self._node_of[w]            # leaf -> node; -1 (invalid) -> -1
+        self._word_cache[kf] = (seq, w)
+        return w
 
     @property
     def m(self) -> ms.MapArrays:
@@ -202,6 +312,18 @@ class LocalMapper:
         """LocalMapping::AcceptKeyFrames analog: has the stage queue drained?
         Feeds the keyframe policy's c1b condition (Tracking.cc:1029)."""
         return self.runner is None or self.runner.is_idle()
+
+    def accepts_keyframes(self) -> bool:
+        """c1b gate: idle, or a small bounded CRITICAL-lane backlog.  The
+        reference's monocular branch refuses KFs while mapping is busy but
+        ABORTS the running local BA to drain fast (Tracking.cc:1041-1059
+        InterruptBA); its stereo branch queues up to 3.  Here refinement
+        rides the deferred lane (preempted by keyframe work), so only
+        critical items gate admission — without this a busy worker throttles
+        keyframes to the c1a fallback cadence and the map starves under
+        rotation."""
+        return (self.runner is None
+                or self.runner.backlog(self.runner.CRITICAL) < 2)
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
@@ -217,15 +339,40 @@ class LocalMapper:
             self._cull_recent_points(kf)
         with timing.span("worker.create_points"):
             self._create_new_points(kf)
+        # Reference scheduling (LocalMapping::Run, LocalMapping.cc:56-104):
+        # ProcessNewKeyFrame + CreateNewMapPoints run for EVERY keyframe —
+        # the tracker's local map freshness depends on them — while
+        # SearchInNeighbors + local BA + keyframe culling are refinement
+        # that the reference only runs when no newer keyframe waits.  Here
+        # refinement rides the runner's DEFERRED lane: critical keyframe
+        # items overtake it, and stale refinements coalesce (only the most
+        # recently submitted keyframe refines).
+        if self.runner is None or self.runner.deterministic:
+            self._refine(kf)
+        else:
+            self._latest_refine_kf = kf
+            self.runner.submit(self._refine, kf,
+                               priority=self.runner.DEFERRED)
+        if self.loop_closer is not None:
+            with timing.span("worker.loop_closing"):
+                self.loop_closer.on_keyframe(kf)
+
+    def _refine(self, kf: int):
+        """Fuse + local BA + keyframe culling for ``kf`` (the deferred-lane
+        half of keyframe processing)."""
+        if (self.runner is not None and not self.runner.deterministic
+                and getattr(self, "_latest_refine_kf", kf) != kf):
+            # A newer keyframe superseded this refinement; its own local BA
+            # window covers this keyframe (it is covisible by construction).
+            return
+        if not self.host.kf_valid[kf]:
+            return
         with timing.span("worker.fuse"):
             self._fuse_neighbors(kf)
         with timing.span("worker.local_ba"):
             self._local_bundle_adjustment(kf)
         with timing.span("worker.cull_kfs"):
             self._cull_keyframes(kf)
-        if self.loop_closer is not None:
-            with timing.span("worker.loop_closing"):
-                self.loop_closer.on_keyframe(kf)
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, kf: int):
@@ -271,8 +418,16 @@ class LocalMapper:
             self.host.journal.append(
                 ms.JournalEvent(kind="del_point", point_id=int(pid))
             )
-        ids = jnp.asarray(pids)
-        self.m = ms.invalidate_points(self.m, ids, jnp.ones(len(pids), bool))
+        # Pad to a pow2 bucket (variable kill counts would recompile the
+        # invalidate + isin programs per size); pad value M never matches.
+        B = _pow2(len(pids))
+        M = self.m.pt_xyz.shape[0]
+        pids_pad = np.full(B, M, np.int32)
+        pids_pad[: len(pids)] = pids
+        mask = np.zeros(B, bool)
+        mask[: len(pids)] = True
+        ids = jnp.asarray(pids_pad)
+        self.m = ms.invalidate_points(self.m, ids, jnp.asarray(mask))
         # Clear device obs table rows for those points.
         obs = self.m.obs_pt
         hit = jnp.isin(obs, ids)
@@ -287,59 +442,37 @@ class LocalMapper:
         )
         if neighbors.size == 0:
             return
-        pose1 = m.kf_pose[kf]
-        c1 = np.asarray(lie.se3_inverse(pose1))[4:7]
-
-        # Median scene depth of the new keyframe (baseline gate :250-274).
         own = self.host.obs_pt[kf]
-        own_pts = own[own >= 0]
-        if own_pts.size < 10:
-            return
-        pts_xyz = np.asarray(m.pt_xyz)[own_pts]
-        xc = np.asarray(lie.se3_apply(pose1, jnp.asarray(pts_xyz)))
-        med_depth = float(np.median(xc[:, 2]))
-
-        free1 = jnp.asarray(own < 0) & m.kf_feat_valid[kf]
-
-        # Baseline/depth gate per neighbor (LocalMapping.cc:250-274), on host.
-        centers = np.asarray(lie.se3_inverse(m.kf_pose[jnp.asarray(neighbors)]))[:, 4:7]
-        baselines = np.linalg.norm(centers - c1, axis=-1)
-        keep = baselines / max(med_depth, 1e-9) >= 0.01
-        neighbors = neighbors[keep]
-        if neighbors.size == 0:
+        if (own >= 0).sum() < 10:
             return
 
-        # Pad neighbors to a static bucket and triangulate all pairs at once.
-        # Bucket size follows the config knob (LocalMapping.cc:250 uses 20
-        # covisible neighbors); the jitted batch compiles once per size.
+        # Pad neighbors to a static bucket (the config knob follows
+        # LocalMapping.cc:250's 20 covisible neighbors); ONE fused dispatch
+        # does gates + words + matching + triangulation + conflict
+        # resolution, ONE device_get brings back the per-feature results.
         NB = max(1, self.cfg.mapping.triangulation_neighbors)
         neighbors = neighbors[:NB]
         nbp = np.zeros(NB, np.int32)
         nb_mask = np.zeros(NB, bool)
         nbp[: neighbors.size] = neighbors
         nb_mask[: neighbors.size] = True
-        nb_j = jnp.asarray(nbp)
-        free2_b = jnp.asarray(self.host.obs_pt[nbp] < 0) & m.kf_feat_valid[nb_j] \
-            & jnp.asarray(nb_mask)[:, None]
-        idx_b, xyz_b, good_b = _epipolar_triangulate_batch(
-            pose1, m.kf_pose[nb_j],
-            m.kf_uv[kf], m.kf_octave[kf], m.kf_angle[kf], m.kf_desc[kf], free1,
-            m.kf_uv[nb_j], m.kf_octave[nb_j], m.kf_angle[nb_j], m.kf_desc[nb_j],
-            free2_b, self.intr, self._inv_sigma2,
-        )
-        idx_np, xyz_np, good_np = jax.device_get((idx_b, xyz_b, good_b))
-        if not good_np.any():
-            return
 
-        # Resolve conflicts: each kf feature triangulates with its first good
-        # neighbor (the reference's sequential loop has the same effect).
-        first_nb = np.argmax(good_np, axis=0)            # [N]
-        any_good = good_np.any(axis=0)
+        first_nb_d, feats2_d, xyz_d, any_good_d = _create_points_fused(
+            m, kf, jnp.asarray(nbp), jnp.asarray(nb_mask),
+            jnp.asarray(own), jnp.asarray(self.host.obs_pt[nbp]),
+            self._codebook, self.intr, self._inv_sigma2,
+        )
+        first_nb_np, feats2_np, xyz_np, any_good = jax.device_get(
+            (first_nb_d, feats2_d, xyz_d, any_good_d)
+        )
+        if not any_good.any():
+            return
         feats1 = np.where(any_good)[0]
-        nb_of = first_nb[feats1]
-        feats2 = idx_np[nb_of, feats1]
-        new_xyz = xyz_np[nb_of, feats1]
+        nb_of = first_nb_np[feats1]
+        feats2 = feats2_np[feats1]
+        new_xyz = xyz_np[feats1]
         n_new = feats1.size
+        c1 = lie.np_se3_inverse(np.asarray(m.kf_pose[kf]))[4:7]
         try:
             pids = self.host.alloc_points(n_new)
         except RuntimeError:
@@ -354,20 +487,44 @@ class LocalMapper:
         max_dist = d * (sf ** oct1)
         min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
         normal = (new_xyz - c1) / np.maximum(d[:, None], 1e-9)
-        ids_j = jnp.asarray(pids)
+
+        # Pad the new-point batch to a pow2 bucket: n_new differs per
+        # keyframe and each distinct size would recompile the whole
+        # scatter/gather chain.
+        B = _pow2(n_new)
+        M = m.pt_xyz.shape[0]
+        N0 = own.shape[0]
+
+        def padi(x, fill=0, dtype=None):
+            out = np.full((B,) + np.asarray(x).shape[1:], fill,
+                          dtype or np.asarray(x).dtype)
+            out[:n_new] = x
+            return out
+
+        mask = np.zeros(B, bool)
+        mask[:n_new] = True
+        ids_pad = jnp.asarray(padi(pids.astype(np.int32)))
+        feats1_pad = jnp.asarray(padi(feats1.astype(np.int32)))
+        mask_j = jnp.asarray(mask)
         m = ms.add_points_arrays(
-            m, ids_j, jnp.asarray(new_xyz, jnp.float32),
-            m.kf_desc[kf][jnp.asarray(feats1)],
-            jnp.asarray(normal, jnp.float32),
-            jnp.asarray(min_dist, jnp.float32),
-            jnp.asarray(max_dist, jnp.float32),
-            jnp.full(n_new, kf, jnp.int32), jnp.full(n_new, kf, jnp.int32),
-            jnp.ones(n_new, bool),
+            m, ids_pad, jnp.asarray(padi(new_xyz.astype(np.float32))),
+            m.kf_desc[kf][feats1_pad],
+            jnp.asarray(padi(normal.astype(np.float32))),
+            jnp.asarray(padi(min_dist.astype(np.float32))),
+            jnp.asarray(padi(max_dist.astype(np.float32))),
+            jnp.full(B, kf, jnp.int32), jnp.full(B, kf, jnp.int32),
+            mask_j,
         )
+        f1_safe = jnp.where(mask_j, feats1_pad, N0)
+        nb_safe = jnp.asarray(padi(nbp[nb_of].astype(np.int32),
+                                   fill=m.kf_pose.shape[0]))
+        f2_safe = jnp.asarray(
+            padi(feats2.astype(np.int32), fill=N0))
+        ids_masked = jnp.where(mask_j, ids_pad, M)
         m = m._replace(
             obs_pt=m.obs_pt
-            .at[kf, jnp.asarray(feats1)].set(ids_j)
-            .at[jnp.asarray(nbp[nb_of]), jnp.asarray(feats2)].set(ids_j)
+            .at[kf, f1_safe].set(ids_masked, mode="drop")
+            .at[nb_safe, f2_safe].set(ids_masked, mode="drop")
         )
         self.m = m
         for pid in pids:
@@ -425,20 +582,20 @@ class LocalMapper:
             self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
         )
         idx_np = np.asarray(idx_b)            # [NB,P]
-        any_hit = False
-        for b in range(neighbors.size):
-            rows = idx_np[b] >= 0
-            if not rows.any():
-                continue
-            any_hit = True
-            nb = int(nbp[b])
-            self.host.obs_pt[nb, idx_np[b][rows]] = pad[rows]
+        hit = (idx_np >= 0) & nb_mask[:, None] & msk[None, :]
+        if hit.any():
+            # Host mirror (vectorized) + ONE static-shape device scatter:
+            # invalid lanes get an OOB feature index and are dropped.
+            bi, pi = np.where(hit)
+            self.host.obs_pt[nbp[bi], idx_np[bi, pi]] = pad[pi]
+            N0 = self.host.obs_pt.shape[1]
+            tgt = np.where(hit, idx_np, N0).astype(np.int32)
+            vals = np.broadcast_to(pad[None, :], idx_np.shape).astype(np.int32)
             m = m._replace(
-                obs_pt=m.obs_pt.at[nb, jnp.asarray(idx_np[b][rows])].set(
-                    jnp.asarray(pad[rows])
+                obs_pt=m.obs_pt.at[nb_j[:, None], jnp.asarray(tgt)].set(
+                    jnp.asarray(vals), mode="drop"
                 )
             )
-        if any_hit:
             self.m = m
         self.host.update_covisibility(kf)
 
@@ -493,8 +650,14 @@ class LocalMapper:
 
         all_kfs_arr = np.asarray(all_kfs, np.int64)
         # One batched pull of everything the window needs (single sync).
-        kf_idx_j = jnp.asarray(all_kfs_arr)
-        pt_idx_j = jnp.asarray(pt_ids)
+        # Gather indices pad to the static capacities: len(all_kfs) and
+        # pt_ids.size vary per window and would recompile the gather chain.
+        kf_idx_pad_np = np.zeros(C, np.int64)
+        kf_idx_pad_np[: len(all_kfs)] = all_kfs_arr
+        pt_idx_pad_np = np.zeros(P, np.int64)
+        pt_idx_pad_np[: pt_ids.size] = pt_ids
+        kf_idx_j = jnp.asarray(kf_idx_pad_np)
+        pt_idx_j = jnp.asarray(pt_idx_pad_np)
         kf_pose_np, pts_sel, kf_uv_sel, kf_oct_sel, kf_ur_sel = jax.device_get((
             m.kf_pose[kf_idx_j], m.pt_xyz[pt_idx_j],
             m.kf_uv[kf_idx_j], m.kf_octave[kf_idx_j], m.kf_ur[kf_idx_j],
@@ -503,14 +666,14 @@ class LocalMapper:
         cam_poses = np.zeros((C, 7), np.float32)
         cam_poses[:, 0] = 1.0
         cam_free = np.zeros(C, bool)
-        cam_poses[: len(all_kfs)] = kf_pose_np
+        cam_poses[: len(all_kfs)] = kf_pose_np[: len(all_kfs)]
         cam_free[: len(free_kfs)] = True
         # Never optimize the very first keyframe (gauge, Optimizer.cc:497).
         cam_free[: len(all_kfs)] &= all_kfs_arr != 0
 
         pts = np.zeros((P, 3), np.float32)
         ptv = np.zeros(P, bool)
-        pts[: pt_ids.size] = pts_sel
+        pts[: pt_ids.size] = pts_sel[: pt_ids.size]
         ptv[: pt_ids.size] = True
 
         # Vectorized observation assembly: every (window kf, feature) slot
@@ -577,12 +740,14 @@ class LocalMapper:
         kf_idx_pad[: len(all_kfs)] = np.where(
             cam_free[: len(all_kfs)], all_kfs_arr, K
         )
+        pt_scatter = np.full(P, m.pt_xyz.shape[0], np.int64)
+        pt_scatter[: pt_ids.size] = pt_ids
         m = m._replace(
             kf_pose=m.kf_pose.at[jnp.asarray(kf_idx_pad)].set(
                 res.cam_poses, mode="drop"
             ),
-            pt_xyz=m.pt_xyz.at[jnp.asarray(pt_ids)].set(
-                res.points[: pt_ids.size]
+            pt_xyz=m.pt_xyz.at[jnp.asarray(pt_scatter)].set(
+                res.points, mode="drop"
             ),
         )
 
@@ -597,8 +762,15 @@ class LocalMapper:
             ok_rows = pids_bad >= 0
             ks, fs, pids_bad = ks[ok_rows], fs[ok_rows], pids_bad[ok_rows]
             self.host.obs_pt[ks, fs] = -1
+            Bk = _pow2(ks.size)
+            K = m.kf_pose.shape[0]
+            ks_pad = np.full(Bk, K, np.int32)
+            fs_pad = np.zeros(Bk, np.int32)
+            ks_pad[: ks.size] = ks
+            fs_pad[: fs.size] = fs
             m = m._replace(
-                obs_pt=m.obs_pt.at[jnp.asarray(ks), jnp.asarray(fs)].set(-1)
+                obs_pt=m.obs_pt.at[jnp.asarray(ks_pad), jnp.asarray(fs_pad)]
+                .set(-1, mode="drop")
             )
             for k, pid in zip(ks.tolist(), pids_bad.tolist()):
                 self.host.journal.append(

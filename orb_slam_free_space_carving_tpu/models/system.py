@@ -154,9 +154,16 @@ class System:
             self.carver.poll()
         else:
             if tex is not None:
-                self.runner.submit(self.carver.add_texture, *tex)
-            if kf_recent:
-                self.runner.submit(self.carver.poll)
+                self.runner.submit(self.carver.add_texture, *tex,
+                                   priority=self.runner.DEFERRED)
+            # Carving rides the deferred lane (the reference's Modeler
+            # thread also lags its transcript under load and recomputes on
+            # the >=5s throttle); poll() reads keyframe counts from host
+            # state, so skipped submissions are caught up by the next one
+            # and by finalize().
+            if kf_recent and self.runner.backlog(self.runner.DEFERRED) <= 1:
+                self.runner.submit(self.carver.poll,
+                                   priority=self.runner.DEFERRED)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float) -> np.ndarray:
@@ -234,6 +241,7 @@ class System:
         self.tracker.ref_kf = -1
         self.local_mapper.recent_points = []
         self.local_mapper.kf_counter = 0
+        self.local_mapper._word_cache = {}
         if self.loop_closer is not None:
             self.loop_closer.host = self.map_host
             self.loop_closer.reset()

@@ -373,6 +373,7 @@ class Tracker:
         # reference-KF tracking within the same frame; with pipelined
         # decisions the "same frame" is re-tracked here from this pose).
         self._last_good_pose = None
+        self._last_refresh_frame = -10**9
         # Async stage runtime (None or a StageRunner; deterministic = inline).
         self.runner = runner
         self._ref_kf_frame: Optional[FrameData] = None
@@ -597,6 +598,11 @@ class Tracker:
             self.cfg.camera.has_distortion, opt_cfg=self.cfg.optimizer,
         )
         timing.add("track.fast_dispatch", _pc() - t0)
+        # Dispatch accounting (BENCH_DETAIL "events"): the fast path costs
+        # exactly 2 device programs per frame (h2d + fused step) + 1 async
+        # readback; at the tunnel's ~2 ms dispatch floor this is the budget
+        # that makes high fps possible at all.
+        timing.count("dispatch.track_fast", 2)
         try:
             n_inl.copy_to_host_async()
         except Exception:
@@ -653,8 +659,12 @@ class Tracker:
         # local map per frame (Tracking.cc:1204-1348).  When the inlier count
         # decays toward the loss threshold, recompute the buffer from the
         # currently tracked points before the fused path actually fails.
-        if n < 2 * self.cfg.tracking.min_matches_track_localmap:
+        # Cooldown: the host scan costs tens of ms, and a borderline inlier
+        # count would otherwise trigger it every frame.
+        if (n < 2 * self.cfg.tracking.min_matches_track_localmap
+                and frame_idx - self._last_refresh_frame >= 5):
             with timing.span("track.local_refresh"):
+                self._last_refresh_frame = frame_idx
                 tp_np = np.asarray(track_pt)
                 ids, msk = self._local_point_ids(tp_np)
                 self._local_ids_np, self._local_mask_np = ids, msk
@@ -857,7 +867,10 @@ class Tracker:
 
         inl = np.asarray(res.inliers) & (idx_np >= 0)
         n_pts = int(inl.sum())
-        if n_pts < 50:
+        # The reference resets unless >=100 points survive the init BA
+        # (Tracking.cc:736-744) — a thin bootstrap map dooms tracking within
+        # a few frames and wastes a reset cycle.
+        if n_pts < 100:
             self.last_frame = self._truncate_frame(frame, N0)
             return
 
@@ -1135,13 +1148,19 @@ class Tracker:
     def _local_point_ids(self, track_pt: np.ndarray) -> np.ndarray:
         """Local map point set: points of covisible KFs of the ref KF
         (UpdateLocalKeyFrames/Points, Tracking.cc:1204-1348), capacity-padded."""
+        from orb_slam_free_space_carving_tpu.runtime import mapstore
+
         kfs = set()
         seen_pts = track_pt[track_pt >= 0]
-        # Keyframes observing currently tracked points:
+        # Keyframes observing currently tracked points (native early-exit
+        # row scan; the old np.isin was O(K*N) python per slow frame).
         if seen_pts.size:
-            sub = self.host.obs_pt[: self.host.n_kf_slots]
-            mask = np.isin(sub, seen_pts)
-            kf_hits = np.where(mask.any(axis=1))[0]
+            kf_hits = mapstore.kfs_observing(
+                self.host.obs_pt[: self.host.n_kf_slots],
+                self.host.kf_valid[: self.host.n_kf_slots].astype(np.uint8),
+                seen_pts.astype(np.int32), self.cfg.capacity.max_points,
+                cap=self.cfg.tracking.local_map_max_keyframes,
+            )
             for k in kf_hits:
                 kfs.add(int(k))
         if self.ref_kf >= 0:
@@ -1228,7 +1247,8 @@ class Tracker:
             return False
         if self.ref_kf < 0:
             return False
-        mapper_idle = self.local_mapper is None or self.local_mapper.is_idle()
+        mapper_idle = (self.local_mapper is None
+                       or self.local_mapper.accepts_keyframes())
         # Reference tracked count: matches in ref KF.
         ref_obs = self.host.obs_pt[self.ref_kf]
         n_ref = int((ref_obs >= 0).sum())

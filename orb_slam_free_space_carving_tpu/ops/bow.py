@@ -120,6 +120,66 @@ def train_codebook(desc_u8: np.ndarray, n_words: int = 4096,
     return centers
 
 
+def coarse_nodes(codebook_u8: np.ndarray, n_nodes: int = 256,
+                 iterations: int = 8, seed: int = 11) -> np.ndarray:
+    """Cluster the W leaf words into ``n_nodes`` coarse nodes -> [W] int32.
+
+    DBoW2's matcher gates operate at an ANCESTOR node of the vocabulary tree
+    (``FeatureVector`` built at levelsup, ``TemplatedVocabulary.h``), not at
+    the leaves: leaf-level equality is far too strict for matching (two
+    views of the same corner often quantize to sibling leaves).  The flat
+    codebook recovers the tree's node layer by k-majority clustering the
+    codewords themselves.
+    """
+    rng = np.random.default_rng(seed)
+    W = codebook_u8.shape[0]
+    bits = np.unpackbits(codebook_u8, axis=1).astype(np.float32)   # [W,256]
+    pm = 1.0 - 2.0 * bits                                          # +-1
+    cpm = pm[rng.choice(W, n_nodes, replace=False)].copy()
+    assign = np.zeros(W, np.int32)
+    for _ in range(iterations):
+        # hamming = (256 - <pm, cpm>) / 2 — one [W,256]x[256,C] matmul.
+        assign = np.argmin(-(pm @ cpm.T), axis=1).astype(np.int32)
+        for c in range(n_nodes):
+            grp = bits[assign == c]
+            if grp.size:
+                cpm[c] = 1.0 - 2.0 * (grp.mean(0) > 0.5)
+    return assign
+
+
+_NODES_CACHE: dict = {}
+
+
+def coarse_nodes_cached(n_words: int, vocab_seed: int,
+                        n_nodes: int = 256) -> np.ndarray:
+    key = (n_words, vocab_seed, n_nodes)
+    if key not in _NODES_CACHE:
+        _NODES_CACHE[key] = coarse_nodes(codebook(n_words, vocab_seed),
+                                         n_nodes)
+    return _NODES_CACHE[key]
+
+
+@jax.jit
+def word_ids(desc_u8: jnp.ndarray, valid: jnp.ndarray,
+             codebook_u8: jnp.ndarray) -> jnp.ndarray:
+    """Per-feature vocabulary word assignment [N] int32 (-1 for invalid).
+
+    The matcher-side analog of DBoW2's FeatureVector: SearchForTriangulation
+    and SearchByBoW only consider feature pairs quantized to the same
+    vocabulary node (``ORBmatcher.cc:657-823``, ``TemplatedVocabulary.h``) —
+    the appearance gate that keeps wide-baseline epipolar matching from
+    hallucinating correspondences.
+    """
+    d = unpack_bits(desc_u8, jnp.bfloat16)
+    c = unpack_bits(codebook_u8, jnp.bfloat16)
+    pd = jnp.sum(d, axis=-1, dtype=jnp.float32)
+    pc = jnp.sum(c, axis=-1, dtype=jnp.float32)
+    cross = jnp.dot(d, c.T, preferred_element_type=jnp.float32)
+    ham = pd[:, None] + pc[None, :] - 2.0 * cross
+    words = jnp.argmin(ham, axis=-1).astype(jnp.int32)
+    return jnp.where(valid, words, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_words",))
 def bow_vector(desc_u8: jnp.ndarray, valid: jnp.ndarray, codebook_u8: jnp.ndarray,
                n_words: int = 4096) -> jnp.ndarray:

@@ -214,3 +214,25 @@ def boundary_faces(field: jnp.ndarray, evidence_dilated: jnp.ndarray):
         return face & (idx < n - 1)
 
     return axis_faces(0), axis_faces(1), axis_faces(2)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def extract_face_cells(fx: jnp.ndarray, fy: jnp.ndarray, fz: jnp.ndarray,
+                       cap: int):
+    """Compact the boundary-face grids to index lists ON DEVICE.
+
+    The host mesh builder previously pulled three full [R,R,R] bool grids
+    (+ the field) over the tunnel (~14 MB per mesh at R=128); the surface
+    occupies a tiny fraction of cells, so pull [cap,3] indices per axis
+    instead (static shape via ``argwhere(size=...)``; overflow rows are
+    dropped and reported via the returned counts).
+    """
+    def one(g):
+        n = jnp.sum(g).astype(jnp.int32)
+        c = jnp.argwhere(g, size=cap, fill_value=-1).astype(jnp.int32)
+        return c, n
+
+    cx, nx = one(fx)
+    cy, ny = one(fy)
+    cz, nz = one(fz)
+    return (cx, cy, cz), jnp.stack([nx, ny, nz])

@@ -45,15 +45,73 @@ def triangulate_dlt(uv1, uv2, P1, P2):
         uv2[..., 1:2, None] * P2[..., 2:3, :] - P2[..., 1:2, :],
     ]
     A = jnp.concatenate(rows, axis=-2)  # [...,4,4]
-    # Row-normalize (pixel-scale rows are badly conditioned in f32), then take
-    # the right-singular vector of the smallest singular value.  SVD of A
-    # avoids squaring the condition number that eigh(A^T A) would incur.
+    # Row-normalize (pixel-scale rows are badly conditioned in f32), then
+    # take the null vector of B = A^T A via its closed-form ADJUGATE: for a
+    # rank-3 symmetric B, adj(B) = prod(nonzero eigenvalues) * v v^T with v
+    # the null vector, so the largest column of adj(B) IS the null direction
+    # (exact; near-rank-3 it is dominated by the smallest-eigenvector term).
+    # This replaces a [batch,4,4] jnp.linalg.svd — batched tiny SVDs are the
+    # slowest op on TPU by an order of magnitude (scripts/probe_stage_times:
+    # the 20-neighbor triangulation batch spent ~150 ms in them) — with pure
+    # elementwise cofactor math.  The downstream GN polish
+    # (:func:`refine_triangulation`) removes the conditioning penalty of
+    # squaring into B.
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
-    _, _, Vt = jnp.linalg.svd(A)
-    X = Vt[..., 3, :]
+    B = jnp.einsum("...ij,...ik->...jk", A, A)
+    adj = _adjugate4(B)
+    n2 = jnp.sum(adj * adj, axis=-2)                       # column norms^2
+    j = jnp.argmax(n2, axis=-1)
+    X = jnp.take_along_axis(
+        adj, j[..., None, None].repeat(4, axis=-2), axis=-1
+    )[..., 0]                                              # [...,4]
     wcoord = X[..., 3:4]
     safe = jnp.where(jnp.abs(wcoord) < 1e-12, 1e-12, wcoord)
     return X[..., :3] / safe
+
+
+def _adjugate4(B):
+    """Closed-form adjugate of [...,4,4] via 2x2 sub-determinants (the
+    standard GLM inverse formulation, batched elementwise)."""
+    b = lambda i, j: B[..., i, j]
+    s0 = b(0, 0) * b(1, 1) - b(1, 0) * b(0, 1)
+    s1 = b(0, 0) * b(1, 2) - b(1, 0) * b(0, 2)
+    s2 = b(0, 0) * b(1, 3) - b(1, 0) * b(0, 3)
+    s3 = b(0, 1) * b(1, 2) - b(1, 1) * b(0, 2)
+    s4 = b(0, 1) * b(1, 3) - b(1, 1) * b(0, 3)
+    s5 = b(0, 2) * b(1, 3) - b(1, 2) * b(0, 3)
+    c5 = b(2, 2) * b(3, 3) - b(3, 2) * b(2, 3)
+    c4 = b(2, 1) * b(3, 3) - b(3, 1) * b(2, 3)
+    c3 = b(2, 1) * b(3, 2) - b(3, 1) * b(2, 2)
+    c2 = b(2, 0) * b(3, 3) - b(3, 0) * b(2, 3)
+    c1 = b(2, 0) * b(3, 2) - b(3, 0) * b(2, 2)
+    c0 = b(2, 0) * b(3, 1) - b(3, 0) * b(2, 1)
+    adj = jnp.stack([
+        jnp.stack([
+            b(1, 1) * c5 - b(1, 2) * c4 + b(1, 3) * c3,
+            -b(0, 1) * c5 + b(0, 2) * c4 - b(0, 3) * c3,
+            b(3, 1) * s5 - b(3, 2) * s4 + b(3, 3) * s3,
+            -b(2, 1) * s5 + b(2, 2) * s4 - b(2, 3) * s3,
+        ], axis=-1),
+        jnp.stack([
+            -b(1, 0) * c5 + b(1, 2) * c2 - b(1, 3) * c1,
+            b(0, 0) * c5 - b(0, 2) * c2 + b(0, 3) * c1,
+            -b(3, 0) * s5 + b(3, 2) * s2 - b(3, 3) * s1,
+            b(2, 0) * s5 - b(2, 2) * s2 + b(2, 3) * s1,
+        ], axis=-1),
+        jnp.stack([
+            b(1, 0) * c4 - b(1, 1) * c2 + b(1, 3) * c0,
+            -b(0, 0) * c4 + b(0, 1) * c2 - b(0, 3) * c0,
+            b(3, 0) * s4 - b(3, 1) * s2 + b(3, 3) * s0,
+            -b(2, 0) * s4 + b(2, 1) * s2 - b(2, 3) * s0,
+        ], axis=-1),
+        jnp.stack([
+            -b(1, 0) * c3 + b(1, 1) * c1 - b(1, 2) * c0,
+            b(0, 0) * c3 - b(0, 1) * c1 + b(0, 2) * c0,
+            -b(3, 0) * s3 + b(3, 1) * s1 - b(3, 2) * s0,
+            b(2, 0) * s3 - b(2, 1) * s1 + b(2, 2) * s0,
+        ], axis=-1),
+    ], axis=-2)
+    return adj
 
 
 def refine_triangulation(points_w, uv1, uv2, pose1, pose2, intr,

@@ -337,9 +337,22 @@ def initialize_two_view(
     # best must dominate, enough triangulated points).
     nsecond = jnp.sort(ngood)[-2]
     n_inl = jnp.sum(vote_mask)
+    # Parallax gate (ReconstructF/H parallax>minParallax=1 deg,
+    # Initializer.cc:560/:660): a tiny-baseline pair can win the vote with
+    # float-marginal triangulations whose map immediately collapses.
+    c2 = lie.se3_inverse(poses2[jnp.argmax(ngood)])[4:7]
+    pcos = tri.parallax_cos(pts[jnp.argmax(ngood)], jnp.zeros(3), c2)
+    g = good[jnp.argmax(ngood)]
+    pcos_sorted = jnp.sort(jnp.where(g, pcos, -jnp.inf))
+    n_good = jnp.sum(g)
+    med_cos = pcos_sorted[
+        jnp.clip(pcos_sorted.shape[0] - n_good // 2 - 1, 0,
+                 pcos_sorted.shape[0] - 1)
+    ]
+    enough_parallax = med_cos < jnp.cos(jnp.deg2rad(1.0))
     ok = (nbest >= min_inliers) & (
         nsecond < jnp.maximum(0.75 * nbest, 1.0)
-    ) & (nbest >= min_triangulated_ratio * 0.5 * n_inl)
+    ) & (nbest >= min_triangulated_ratio * 0.5 * n_inl) & enough_parallax
 
     pose21 = poses2[best]
     # Normalize translation scale to unit baseline (monocular gauge freedom;

@@ -84,6 +84,34 @@ int64_t local_point_ids(const int32_t* obs, int64_t N, int64_t M,
     return n;
 }
 
+// Keyframes observing ANY of the given point ids (early-exit per row).
+// Replaces Tracking::UpdateLocalKeyFrames' vote-counting scan
+// (reference src/Tracking.cc:1255-1348) — the python np.isin over the
+// whole K x N table was O(map) per slow frame.
+int64_t kfs_observing(const int32_t* obs, const uint8_t* kf_valid,
+                      int64_t K, int64_t N, int64_t M,
+                      const int32_t* pids, int64_t n_pids,
+                      int32_t* out_kfs, int64_t cap) {
+    std::vector<uint8_t> pt_mask(M, 0);
+    for (int64_t i = 0; i < n_pids; ++i) {
+        int32_t p = pids[i];
+        if (p >= 0 && p < M) pt_mask[p] = 1;
+    }
+    int64_t n = 0;
+    for (int64_t k = 0; k < K && n < cap; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = obs + k * N;
+        for (int64_t f = 0; f < N; ++f) {
+            int32_t p = row[f];
+            if (p >= 0 && p < M && pt_mask[p]) {
+                out_kfs[n++] = (int32_t)k;
+                break;
+            }
+        }
+    }
+    return n;
+}
+
 // Find all (kf, feat) pairs observing a given point id.
 // Returns count; pairs written as kf,feat interleaved.
 int64_t point_observations(const int32_t* obs, int64_t K, int64_t N,

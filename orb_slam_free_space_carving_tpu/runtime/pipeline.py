@@ -35,12 +35,23 @@ from typing import Callable, Optional
 
 
 class StageRunner:
-    """Single worker thread executing map-mutating stage work in order."""
+    """Single worker thread executing map-mutating stage work in order.
+
+    Two priority lanes: CRITICAL items (keyframe insertion + triangulation —
+    the work the tracker's local map freshness depends on) jump ahead of
+    DEFERRED items (local BA, fuse, culling, carving).  FIFO order is kept
+    within each lane.  This is the queue analog of the reference's
+    LocalMapping::Run scheduling, where refinement only runs when no new
+    keyframe waits (``LocalMapping.cc:56-104``)."""
+
+    CRITICAL = 0
+    DEFERRED = 1
 
     def __init__(self, deterministic: bool = True, name: str = "mapping"):
         self.deterministic = deterministic
-        self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue()
-        self._pending = 0
+        self._queue: "queue.PriorityQueue[tuple]" = queue.PriorityQueue()
+        self._seq = 0
+        self._pending = [0, 0]              # per priority lane
         self._lock = threading.Lock()
         self._idle = threading.Event()
         self._idle.set()
@@ -53,18 +64,28 @@ class StageRunner:
             self._thread.start()
 
     # ------------------------------------------------------------------
-    def submit(self, fn: Callable, *args, **kwargs):
+    def submit(self, fn: Callable, *args, priority: int = 0, **kwargs):
         """Enqueue one stage item (inline in deterministic mode)."""
         if self.deterministic:
             fn(*args, **kwargs)
             return
+        pr = 1 if priority else 0
         with self._lock:
-            self._pending += 1
+            self._pending[pr] += 1
+            self._seq += 1
+            seq = self._seq
             self._idle.clear()
-        self._queue.put((fn, args, kwargs))
+        self._queue.put((pr, seq, fn, args, kwargs))
 
     def is_idle(self) -> bool:
         return self._idle.is_set()
+
+    def backlog(self, priority: Optional[int] = None) -> int:
+        """Items not yet completed (0 = idle); optionally one lane only."""
+        with self._lock:
+            if priority is None:
+                return self._pending[0] + self._pending[1]
+            return self._pending[1 if priority else 0]
 
     def flush(self, timeout: Optional[float] = None):
         """Block until every submitted item has executed."""
@@ -78,17 +99,16 @@ class StageRunner:
     def shutdown(self):
         if self._thread is not None:
             self.flush()
-            self._queue.put(None)
+            self._queue.put((2, 0, None, (), {}))   # sentinel after all work
             self._thread.join(timeout=30)
             self._thread = None
 
     # ------------------------------------------------------------------
     def _run(self):
         while True:
-            item = self._queue.get()
-            if item is None:
+            pr, _seq, fn, args, kwargs = self._queue.get()
+            if fn is None:
                 return
-            fn, args, kwargs = item
             try:
                 fn(*args, **kwargs)
             except Exception:                      # pragma: no cover
@@ -98,6 +118,6 @@ class StageRunner:
                 self._errors.append(traceback.format_exc())
             finally:
                 with self._lock:
-                    self._pending -= 1
-                    if self._pending == 0:
+                    self._pending[pr] -= 1
+                    if self._pending[0] + self._pending[1] == 0:
                         self._idle.set()

@@ -348,3 +348,33 @@ def sim3_log(sim):
     rho = jnp.linalg.solve(W, sim[..., 4:7][..., None])[..., 0]
     del xi_probe
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Numpy mirrors for host-side bookkeeping (the mapping worker computes small
+# pose quantities on host to avoid data-dependent-shape device dispatches —
+# every distinct shape is a fresh XLA compile through the TPU tunnel).
+# ---------------------------------------------------------------------------
+
+def np_quat_rotate(q: "np.ndarray", v: "np.ndarray") -> "np.ndarray":
+    """Rotate v[...,3] by unit quaternion(s) q[...,4] (w,x,y,z), numpy."""
+    import numpy as np
+
+    w, xyz = q[..., :1], q[..., 1:4]
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def np_se3_apply(pose: "np.ndarray", x: "np.ndarray") -> "np.ndarray":
+    """x_c = R x + t for pose7 [..., 7] (q wxyz | t), numpy."""
+    return np_quat_rotate(pose[..., :4], x) + pose[..., 4:7]
+
+
+def np_se3_inverse(pose: "np.ndarray") -> "np.ndarray":
+    """pose7 inverse, numpy: (q, t) -> (q*, -R^T t)."""
+    import numpy as np
+
+    q = pose[..., :4]
+    qc = np.concatenate([q[..., :1], -q[..., 1:4]], axis=-1)
+    t_inv = -np_quat_rotate(qc, pose[..., 4:7])
+    return np.concatenate([qc, t_inv], axis=-1)

@@ -33,16 +33,32 @@ class Quad:
         return n / np.linalg.norm(n)
 
 
-def _block_texture(rng, cells=16, size=384, low=30, high=225):
+def _block_texture(rng, cells=16, size=384, low=30, high=225,
+                   fine=False):
     """Multi-scale random texture: sharp corners + unique local appearance.
 
-    Three block layers at co-prime cell counts make every neighborhood
-    distinct (self-similar single-scale blocks cause wrong descriptor matches);
+    Block layers at co-prime cell counts make every neighborhood distinct
+    (self-similar single-scale blocks cause wrong descriptor matches);
     sparse corners keep detection repeatable; a soft blur avoids aliasing
     shimmer under camera motion.
+
+    ``fine=True`` doubles the resolution, adds a fourth high-frequency layer
+    and blurs once instead of twice — needed so FULL-RESOLUTION (640x480)
+    views still carry FAST corners at pyramid level 0.  Real imagery has
+    texture at every scale; the default texture went sub-texel-smooth at
+    bench resolution and starved level 0 to ~170 features (vs the ~380 the
+    geometric budget expects), which crippled initialization and tracking.
     """
+    if fine:
+        size *= 2
+        layers = ((cells, 1.0), (cells * 3 + 1, 0.5), (cells * 7 + 3, 0.35),
+                  (cells * 17 + 5, 0.25))
+        blur_passes = 1
+    else:
+        layers = ((cells, 1.0), (cells * 3 + 1, 0.45), (cells * 7 + 3, 0.2))
+        blur_passes = 2
     img = np.zeros((size, size), np.float32)
-    for c, w in ((cells, 1.0), (cells * 3 + 1, 0.45), (cells * 7 + 3, 0.2)):
+    for c, w in layers:
         base = rng.standard_normal((c, c)).astype(np.float32)
         idx = (np.arange(size) * c) // size
         img += w * base[np.ix_(idx, idx)]
@@ -50,7 +66,7 @@ def _block_texture(rng, cells=16, size=384, low=30, high=225):
     img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
     img = low + img * (high - low)
     # 3x3 box blur (cheap separable smoothing against aliasing).
-    for _ in range(2):
+    for _ in range(blur_passes):
         img = (np.roll(img, 1, 0) + img + np.roll(img, -1, 0)) / 3.0
         img = (np.roll(img, 1, 1) + img + np.roll(img, -1, 1)) / 3.0
     return img
@@ -145,19 +161,27 @@ def render(scene: List[Quad], cam: CameraConfig, pose_cw_Rt,
 
 
 def make_closed_room_scene(seed: int = 3, extent: float = 4.0) -> List[Quad]:
-    """The standard room plus a front wall at z=0 closing the box, interior
-    box removed — every tangential view of a full 360-degree circuit faces
-    texture (the loop-closure benchmark scene)."""
-    scene = make_room_scene(seed, extent)[:5]
-    rng = np.random.default_rng(seed + 100)
+    """A closed 6-wall box with FINE multi-scale textures — every tangential
+    view of a full 360-degree circuit faces texture rich enough to feed the
+    full level-0 feature budget at 640x480 (the loop-closure + bench
+    scene)."""
+    rng = np.random.default_rng(seed)
     e = extent
-    scene.append(Quad(
-        np.array([-e / 2, -e / 2, 0.0]),
-        np.array([e, 0, 0.0]),
-        np.array([0.0, e, 0]),
-        _block_texture(rng),
-    ))
-    return scene
+    quads = []
+
+    def q(origin, eu, ev):
+        quads.append(Quad(
+            np.array(origin, np.float64), np.array(eu, np.float64),
+            np.array(ev, np.float64), _block_texture(rng, fine=True),
+        ))
+
+    q([-e / 2, +e / 2, 0.0], [e, 0, 0], [0, 0, e])      # floor
+    q([-e / 2, -e / 2, 0.0], [e, 0, 0], [0, 0, e])      # ceiling
+    q([-e / 2, -e / 2, e], [e, 0, 0], [0, e, 0])        # back wall
+    q([-e / 2, -e / 2, 0.0], [0, 0, e], [0, e, 0])      # left wall
+    q([+e / 2, -e / 2, 0.0], [0, 0, e], [0, e, 0])      # right wall
+    q([-e / 2, -e / 2, 0.0], [e, 0, 0.0], [0.0, e, 0])  # front wall (closes)
+    return quads
 
 
 def circuit_trajectory(n_frames: int, radius: float = 0.7,

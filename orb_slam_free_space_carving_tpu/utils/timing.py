@@ -35,6 +35,20 @@ def add(label: str, seconds: float):
         _cnt[label] += 1
 
 
+_events = defaultdict(int)   # label -> event count (no time attached)
+
+
+def count(label: str, n: int = 1):
+    """Count an event (e.g. a device dispatch) without timing it."""
+    with _lock:
+        _events[label] += n
+
+
+def event_counts() -> dict:
+    with _lock:
+        return dict(_events)
+
+
 def snapshot() -> dict:
     """{label: {"total_s": t, "calls": n, "mean_ms": m}} for every label."""
     with _lock:
@@ -52,3 +66,4 @@ def reset():
     with _lock:
         _acc.clear()
         _cnt.clear()
+        _events.clear()

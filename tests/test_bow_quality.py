@@ -83,3 +83,20 @@ def test_trained_ranking_correct(eval_vectors):
         for b in range(n):
             if b != a:
                 assert same > np.minimum(va, vecs[2 * b]).sum()
+
+
+def test_loop_recall_at_scale():
+    """Recall@K gate on a 2-lap circuit with ground-truth revisits under
+    viewpoint offset + photometric degradation (VERDICT r3 do #9; the full
+    512-frame curve artifact is scripts/eval_bow_recall.py ->
+    BOW_RECALL.json)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from eval_bow_recall import recall_curve, two_lap_views
+
+    feats, laps, angle = two_lap_views(256, 8)
+    trained = bow.codebook(4096, 7)
+    curve, n_q = recall_curve(trained, feats, laps, angle, 8)
+    assert n_q >= 15
+    assert curve["recall@1"] >= 0.9, curve
+    assert curve["recall@5"] >= 0.95, curve

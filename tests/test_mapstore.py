@@ -63,3 +63,15 @@ def test_point_observations(obs):
     pairs = mapstore.point_observations(o, pid)
     ks, fs = np.where(o == pid)
     assert set(map(tuple, pairs.tolist())) == set(zip(ks.tolist(), fs.tolist()))
+
+
+def test_kfs_observing_matches_numpy():
+    rng = np.random.default_rng(3)
+    K, N, M = 32, 64, 512
+    obs = rng.integers(-1, M, size=(K, N)).astype(np.int32)
+    kf_valid = rng.random(K) > 0.2
+    pids = rng.choice(M, 20, replace=False).astype(np.int32)
+    got = mapstore.kfs_observing(obs, kf_valid.astype(np.uint8), pids, M,
+                                 cap=K)
+    want = np.where(np.isin(obs, pids).any(axis=1) & kf_valid)[0]
+    np.testing.assert_array_equal(np.sort(got), want)
