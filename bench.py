@@ -73,9 +73,17 @@ def _circuit_frames(cam, n_frames):
         SyntheticSequence, circuit_trajectory, make_closed_room_scene,
     )
 
+    # One full lap in the first 80% of the frames, then re-walk the start of
+    # the circle: the revisit dwell is what lets the loop-closure chain
+    # (BoW consistency over >=3 consecutive keyframes -> Sim3 -> correct ->
+    # GBA) actually fire inside the benchmark window — a lap that ends at
+    # frame N-1 leaves no time to detect it.
+    lap = min(360, int(n_frames * 0.8))
+    poses = circuit_trajectory(lap)
+    poses = poses + (poses * ((n_frames - lap) // lap + 1))[: n_frames - lap]
     seq = SyntheticSequence(
         cam, n_frames=n_frames, scene=make_closed_room_scene(),
-        poses_cw=circuit_trajectory(n_frames),
+        poses_cw=poses,
     )
     return [seq.frame(i) for i in range(n_frames)]
 
@@ -96,7 +104,7 @@ def _run(cfg, frames, settle=0):
 
 def main():
     cfg = make_config()
-    n_frames = int(os.environ.get("BENCH_FRAMES", "360"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "450"))
     n_warm = int(os.environ.get("BENCH_WARMUP", "120"))
 
     # Pass 1 (compile warm-up): a short full circuit — same scene, same

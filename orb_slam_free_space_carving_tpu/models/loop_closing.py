@@ -102,6 +102,25 @@ def _fused_relocalize(m, bow_db, bow_mask, codebook, feat, intr, key,
 
 
 @jax.jit
+def _bow_match_keyframes(m, kf, cand, ratio):
+    """SearchByBoW stand-in for ComputeSim3's first correspondence set
+    (``ORBmatcher.cc:546-655``): full-row [N,N] Hamming match between two
+    keyframes' BOUND features, static shapes (kf/cand are traced scalars, so
+    ONE compiled program serves every pair — the previous data-dependent
+    ``kf_desc[kf][f1]`` gathers compiled per size and turned every failing
+    loop-candidate attempt into seconds of tunnel compiles)."""
+    obs1 = m.obs_pt[kf]
+    obs2 = m.obs_pt[cand]
+    d1 = m.kf_desc[kf]
+    d2 = m.kf_desc[cand]
+    dist = matching.hamming_matrix(d1, d2)
+    mask = (obs1 >= 0)[:, None] & (obs2 >= 0)[None, :]
+    idx, best = matching.masked_match(dist, mask, max_dist=50.0, ratio=ratio)
+    idx = matching._dedup_targets(idx, best, obs2.shape[0])
+    return idx
+
+
+@jax.jit
 def _batched_rel_sims(all_sims, ei, ej, emask):
     """rel[e] = S_i o S_j^-1 for every edge in one vmapped pass."""
     Si = all_sims[ei]
@@ -200,8 +219,13 @@ class LoopCloser:
         cand_mask = mask.copy()
         cand_mask[covis] = False
         # Also exclude recent keyframes (temporal neighbors) — by creation
-        # sequence, robust to slot reuse and frame-id gaps.
-        recent = np.abs(host.kf_seq[: len(cand_mask)] - host.kf_seq[kf]) < 15
+        # sequence, robust to slot reuse and frame-id gaps.  The window
+        # adapts to map size: a fixed 15 would blanket most of a sparse
+        # ~15-keyframe map and veto every genuine revisit (the reference
+        # excludes only the covisible set, KeyFrameDatabase.cc:199-230).
+        recent_w = int(np.clip(n_kf // 4, 5, 15))
+        recent = np.abs(host.kf_seq[: len(cand_mask)] - host.kf_seq[kf]) \
+            < recent_w
         cand_mask[recent[: len(cand_mask)]] = False
         if not cand_mask.any():
             return
@@ -293,23 +317,16 @@ class LoopCloser:
         cfg = self.cfg
         obs1 = host.obs_pt[kf]
         obs2 = host.obs_pt[cand]
-        f1 = np.where(obs1 >= 0)[0]
-        f2 = np.where(obs2 >= 0)[0]
-        if f1.size < 20 or f2.size < 20:
+        if (obs1 >= 0).sum() < 20 or (obs2 >= 0).sum() < 20:
             return False
-        d1 = m.kf_desc[kf][jnp.asarray(f1)]
-        d2 = m.kf_desc[cand][jnp.asarray(f2)]
-        dist = matching.hamming_matrix(d1, d2)
-        idx, best = matching.masked_match(
-            dist, jnp.ones(dist.shape, bool), max_dist=50.0,
-            ratio=cfg.matcher.nn_ratio_bow,
-        )
-        idx_np = np.asarray(idx)
+        idx_np = np.asarray(_bow_match_keyframes(
+            m, kf, cand, cfg.matcher.nn_ratio_bow
+        ))
         rows = np.where(idx_np >= 0)[0]
         if rows.size < cfg.loop.min_bow_matches:
             return False
         # Initial correspondence set: (feature-of-kf, feature-of-cand).
-        pairs = {int(f1[r]): int(f2[idx_np[r]]) for r in rows}
+        pairs = {int(r): int(idx_np[r]) for r in rows}
 
         xyz = np.asarray(m.pt_xyz)
         pose1_np, pose2_np = jax.device_get((m.kf_pose[kf], m.kf_pose[cand]))

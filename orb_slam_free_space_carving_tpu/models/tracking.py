@@ -1188,6 +1188,16 @@ class Tracker:
         m = self.m
         ids, idmask = self._local_point_ids(track_pt)
         ids_j = jnp.asarray(ids)
+        # Refresh the fast path's device-side local buffer for free: the
+        # slow path just computed the per-frame local set the reference
+        # recomputes every frame (Tracking.cc:1204-1348).  Without this a
+        # recovery frame fed the NEXT fast frame the same stale buffer that
+        # caused the failure, locking the tracker into a fast/slow
+        # oscillation.
+        self._local_ids_np, self._local_mask_np = ids, idmask
+        self._local_ids = ids_j
+        self._local_mask = jnp.asarray(idmask)
+        self._last_refresh_frame = self.frame_idx
         pt_xyz = m.pt_xyz[ids_j]
         pt_desc = m.pt_desc[ids_j]
         pt_valid = m.pt_valid[ids_j] & jnp.asarray(idmask)
@@ -1249,9 +1259,23 @@ class Tracker:
             return False
         mapper_idle = (self.local_mapper is None
                        or self.local_mapper.accepts_keyframes())
-        # Reference tracked count: matches in ref KF.
+        # Reference tracked count: MATURE points in the ref KF —
+        # TrackedMapPoints(nMinObs) with nMinObs=3 (2 while the map has <=2
+        # keyframes), Tracking.cc:994-997.  Counting the raw obs row instead
+        # inflates n_ref with young single-pair points and floods keyframes
+        # (each instantly redundant -> cull churn -> thin respawned rows).
+        from orb_slam_free_space_carving_tpu.runtime import mapstore
+
         ref_obs = self.host.obs_pt[self.ref_kf]
-        n_ref = int((ref_obs >= 0).sum())
+        pids = ref_obs[ref_obs >= 0]
+        n_kf_total = int(self.host.kf_valid.sum())
+        min_obs = 3 if n_kf_total > 2 else 2
+        counts = mapstore.obs_counts(
+            self.host.obs_pt[: self.host.n_kf_slots],
+            self.host.kf_valid[: self.host.n_kf_slots].astype(np.uint8),
+            self.cfg.capacity.max_points,
+        )
+        n_ref = int((counts[pids] >= min_obs).sum()) if pids.size else 0
         frames_since = self.frame_idx - self.last_kf_frame_idx
 
         need_close = False

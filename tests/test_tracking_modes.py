@@ -102,13 +102,13 @@ class TestNeighborBucketConfig:
         s = System(cfg, enable_carving=False)
 
         seen_nb = []
-        orig = lm._epipolar_triangulate_batch
+        orig = lm._create_points_fused
 
-        def spy(pose1, poses2, *args, **kw):
-            seen_nb.append(int(poses2.shape[0]))
-            return orig(pose1, poses2, *args, **kw)
+        def spy(m, kf, nbp, nb_mask, *args, **kw):
+            seen_nb.append(int(nbp.shape[0]))
+            return orig(m, kf, nbp, nb_mask, *args, **kw)
 
-        monkeypatch.setattr(lm, "_epipolar_triangulate_batch", spy)
+        monkeypatch.setattr(lm, "_create_points_fused", spy)
         for ts, img in seq:
             s.track_monocular(img, ts)
         s.shutdown()
