@@ -239,6 +239,11 @@ class CarvingConfig:
     incremental: bool = True
     incremental_tol_voxels: float = 0.25   # re-carve a KF if moved > tol
     incremental_oob_frac: float = 0.02     # full recompute if OOB targets >2%
+    # Camera origins outside the frozen box lose only their near-camera
+    # free-space samples (per-sample drop in carve_votes), so the origin
+    # trigger is looser than the target one — but NOT absent: a silently
+    # shrinking coverage box would under-carve near new cameras forever.
+    incremental_origin_oob_frac: float = 0.25
     incremental_churn_frac: float = 0.6    # full recompute if >60% KFs changed
 
 

@@ -510,7 +510,7 @@ class Carver:
                 (all_or >= self._lo) & (all_or <= self._hi), axis=1
             )
             if (oob.mean() > ccfg.incremental_oob_frac
-                    or origin_oob.any()
+                    or origin_oob.mean() > ccfg.incremental_origin_oob_frac
                     or len(changed) + len(removed)
                     > ccfg.incremental_churn_frac * max(len(cur), 1)):
                 full = True
@@ -527,8 +527,15 @@ class Carver:
             hi_p = np.percentile(all_tg, 98.0, axis=0)
             center = 0.5 * (lo_p + hi_p)
             half = 0.5 * (hi_p - lo_p) * float(ccfg.bounds_scale) + 1e-3
-            self._lo = np.minimum(center - half, all_or.min(axis=0) - 1e-3)
-            self._hi = np.maximum(center + half, all_or.max(axis=0) + 1e-3)
+            # Cushion the camera-origin extents (50% of their own span plus
+            # 5% of the scene box): future keyframes move near the current
+            # trajectory, and bounds that hug today's origins would trip the
+            # origin-OOB full-recompute trigger on almost every new keyframe.
+            o_lo = all_or.min(axis=0)
+            o_hi = all_or.max(axis=0)
+            o_pad = 0.5 * (o_hi - o_lo) + 0.05 * (hi_p - lo_p) + 1e-3
+            self._lo = np.minimum(center - half, o_lo - o_pad)
+            self._hi = np.maximum(center + half, o_hi + o_pad)
             self._votes, self._evidence = self._deposit(all_or, all_tg, 1.0)
             self._snap = dict(cur)
             self.n_full_recarves += 1

@@ -190,8 +190,8 @@ class SystemMonitor:
             "n_keyframes": int(sysm.map_host.kf_valid.sum()),
             "n_points": int(sysm.map_host.pt_valid.sum()),
             "n_tracked": int(t.n_tracked),
-            "queue_depth": int(sysm.runner._pending),
-            "gba_queue_depth": int(sysm.gba_runner._pending),
+            "queue_depth": int(sysm.runner.backlog()),
+            "gba_queue_depth": int(sysm.gba_runner.backlog()),
             "pending_decisions": len(t._pending),
             "last_ba_ms": round(float(ba_ms[-1]), 1) if ba_ms else None,
             "n_meshes": sysm.carver.n_meshes if sysm.carver else 0,
