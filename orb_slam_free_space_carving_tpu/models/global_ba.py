@@ -193,6 +193,11 @@ class GlobalBA:
         snap = solved["snap"]
         if snap["gen"] != self.generation:
             return None                       # superseded: discard
+        if not (np.all(np.isfinite(solved["poses"]))
+                and np.all(np.isfinite(solved["points"]))):
+            # Diverged solve: discard wholesale (the reference's abortable
+            # GBA simply skips its writeback, LoopClosing.cc:644-761).
+            return None
         self.last_cost = solved["cost"]
         self.n_runs += 1
 

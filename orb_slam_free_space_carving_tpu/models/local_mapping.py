@@ -66,7 +66,7 @@ def _epipolar_triangulate_batch(
 
 @jax.jit
 def _create_points_fused(m, kf, nbp, nb_mask, own_row, nb_obs_rows, codebook,
-                         intr, inv_sigma2_by_level):
+                         node_of, intr, inv_sigma2_by_level):
     """ONE dispatch for the whole CreateNewMapPoints numeric pipeline
     (``LocalMapping.cc:220-465``): median-depth + baseline gates, vocabulary
     node assignment for the keyframe and every neighbor, epipolar-gated
@@ -100,10 +100,14 @@ def _create_points_fused(m, kf, nbp, nb_mask, own_row, nb_obs_rows, codebook,
         & (n_own >= 10)
 
     # Vocabulary nodes (FeatureVector analog) for kf + neighbors, in-program.
-    word1 = bow.word_ids(m.kf_desc[kf], m.kf_feat_valid[kf], codebook)
-    word2_b = jax.vmap(
+    # The matcher gate compares COARSE NODES (``node_of``: leaf word -> node,
+    # -1 tail for invalid), matching the reference's FeatureVector ancestor
+    # gate at levelsup (TemplatedVocabulary.h) — leaf-level equality drops
+    # ~95% of true correspondences and starved map-point creation.
+    word1 = node_of[bow.word_ids(m.kf_desc[kf], m.kf_feat_valid[kf], codebook)]
+    word2_b = node_of[jax.vmap(
         lambda d, v: bow.word_ids(d, v, codebook)
-    )(m.kf_desc[nbp], m.kf_feat_valid[nbp])
+    )(m.kf_desc[nbp], m.kf_feat_valid[nbp])]
 
     free1 = (own_row < 0) & m.kf_feat_valid[kf]
     free2_b = (nb_obs_rows < 0) & m.kf_feat_valid[nbp] & keep[:, None]
@@ -283,22 +287,6 @@ class LocalMapper:
                                     cfg.loop.vocab_seed),
             np.asarray([-1], np.int32),          # w = -1 indexes the tail
         ]))
-        self._word_cache: dict = {}
-
-    def _kf_words(self, kf: int) -> jnp.ndarray:
-        """[N] int32 coarse-node ids for keyframe ``kf`` (device, cached)."""
-        from orb_slam_free_space_carving_tpu.ops import bow
-
-        seq = int(self.host.kf_seq[kf])
-        hit = self._word_cache.get(kf)
-        if hit is not None and hit[0] == seq:
-            return hit[1]
-        w = bow.word_ids(
-            self.m.kf_desc[kf], self.m.kf_feat_valid[kf], self._codebook
-        )
-        w = self._node_of[w]            # leaf -> node; -1 (invalid) -> -1
-        self._word_cache[kf] = (seq, w)
-        return w
 
     @property
     def m(self) -> ms.MapArrays:
@@ -354,8 +342,23 @@ class LocalMapper:
             self.runner.submit(self._refine, kf,
                                priority=self.runner.DEFERRED)
         if self.loop_closer is not None:
-            with timing.span("worker.loop_closing"):
-                self.loop_closer.on_keyframe(kf)
+            # Loop detection rides the DEFERRED lane: the reference runs it on
+            # its own thread (LoopClosing::Run); nothing in the tracker's
+            # local-map freshness depends on it, so it must not delay the next
+            # keyframe's triangulation.  FIFO within the lane keeps the
+            # 3-consecutive-KF consistency accumulation in insertion order.
+            if self.runner is None or self.runner.deterministic:
+                with timing.span("worker.loop_closing"):
+                    self.loop_closer.on_keyframe(kf)
+            else:
+                self.runner.submit(self._loop_detect, kf,
+                                   priority=self.runner.DEFERRED)
+
+    def _loop_detect(self, kf: int):
+        if not self.host.kf_valid[kf]:
+            return
+        with timing.span("worker.loop_closing"):
+            self.loop_closer.on_keyframe(kf)
 
     def _refine(self, kf: int):
         """Fuse + local BA + keyframe culling for ``kf`` (the deferred-lane
@@ -460,7 +463,7 @@ class LocalMapper:
         first_nb_d, feats2_d, xyz_d, any_good_d = _create_points_fused(
             m, kf, jnp.asarray(nbp), jnp.asarray(nb_mask),
             jnp.asarray(own), jnp.asarray(self.host.obs_pt[nbp]),
-            self._codebook, self.intr, self._inv_sigma2,
+            self._codebook, self._node_of, self.intr, self._inv_sigma2,
         )
         first_nb_np, feats2_np, xyz_np, any_good = jax.device_get(
             (first_nb_d, feats2_d, xyz_d, any_good_d)
@@ -730,7 +733,12 @@ class LocalMapper:
         # writeback, LocalMapping.cc:640-643): a solution that makes most of
         # the window an outlier is discarded wholesale.
         chi2_w = chi2_all[:n_obs]
-        if n_obs and (chi2_w > self.cfg.optimizer.chi2_mono).mean() > 0.5:
+        # NaN-aware: ~(chi2 <= th) counts non-finite rows as outliers, so a
+        # diverged solve (NaN chi2 compares False both ways) is discarded.
+        if n_obs and (~(chi2_w <= self.cfg.optimizer.chi2_mono)).mean() > 0.5:
+            return
+        if not (np.all(np.isfinite(new_poses_np))
+                and np.all(np.isfinite(new_pts_np))):
             return
 
         # Write back poses + points (pad slot indices to capacity C; unused

