@@ -171,8 +171,23 @@ class LoopConfig:
     # total (Sim3Solver::iterate :140-224); the batched TPU RANSAC evaluates
     # every hypothesis in one dispatch, so only the total budget survives.
     sim3_ransac_max_iterations: int = 300  # hypothesis batch (ops/horn.py)
-    vocab_words: int = 4096                # TPU BoW vocabulary size (replaces 1M DBoW2 tree)
+    # Hierarchical BoW vocabulary (the DBoW2 tree, ops/bow.py): 16-ary,
+    # ceil(log16 W) levels; 65536 words by default (reference ships ~1M,
+    # ORBVocabulary.h:30-31 — the importer below loads those too).  Word
+    # assignment is vectorized tree descent; the loop/reloc database stores
+    # sparse (word, weight) rows.
+    vocab_words: int = 65536
     vocab_seed: int = 7
+    # Tree depth of the matcher gating layer (FeatureVector levelsup analog):
+    # depth 1 = 16 nodes for the 16-ary tree.  Depth 2 (256 nodes) measured
+    # 0.47 true-pair agreement on degraded synthetic revisits and starved
+    # triangulation at keyframe baselines; depth 1 measures 0.75 and the
+    # epipolar + rotation + TH_LOW gates carry the rest of the selectivity.
+    vocab_coarse_level: int = 1
+    # Optional DBoW2 text vocabulary to import (the format written by the
+    # reference's tools/bin_vocabulary.cc / saveToTextFile); overrides the
+    # trained/seeded tree when set.
+    vocab_path: Optional[str] = None
     min_score_ratio: float = 0.75          # accScore >= 0.75*best (KeyFrameDatabase.cc:183)
     min_common_words_ratio: float = 0.8    # commonWords > 0.8*max (KeyFrameDatabase.cc:125)
 

@@ -34,6 +34,21 @@ from orb_slam_free_space_carving_tpu.ops import carving
 from orb_slam_free_space_carving_tpu.utils import lie
 
 
+def _check_face_overflow(counts_np, cap: int) -> int:
+    """Warn when the boundary-face extraction cap truncated cells: the mesh
+    would silently have holes otherwise (advisor r4).  Returns total dropped."""
+    dropped = int(np.maximum(counts_np.astype(np.int64) - cap, 0).sum())
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"extract_face_cells cap={cap} overflowed by {dropped} faces; "
+            "mesh will have holes — raise grid cap or smooth the field",
+            RuntimeWarning, stacklevel=2,
+        )
+    return dropped
+
+
 def carve_mesh(origins: np.ndarray, targets: np.ndarray, ccfg):
     """Full carve: constraint rays -> (vertices, faces, field) or None.
 
@@ -87,6 +102,7 @@ def carve_mesh(origins: np.ndarray, targets: np.ndarray, ccfg):
     R = ccfg.grid_resolution
     cells, counts = carving.extract_face_cells(fx, fy, fz, cap=6 * R * R)
     cells_np, counts_np = jax.device_get((cells, counts))
+    _check_face_overflow(counts_np, 6 * R * R)
     verts, faces = surface_nets_cells(
         cells_np, counts_np, R, lo_np.astype(np.float32),
         hi_np.astype(np.float32),
@@ -574,6 +590,7 @@ class Carver:
         R = self.cfg.carving.grid_resolution
         cells, counts = carving.extract_face_cells(fx, fy, fz, cap=6 * R * R)
         cells_np, counts_np = jax.device_get((cells, counts))
+        _check_face_overflow(counts_np, 6 * R * R)
         verts, faces = surface_nets_cells(
             cells_np, counts_np, R,
             self._lo.astype(np.float32), self._hi.astype(np.float32),

@@ -64,9 +64,9 @@ def _epipolar_triangulate_batch(
       inv_sigma2_by_level)
 
 
-@jax.jit
-def _create_points_fused(m, kf, nbp, nb_mask, own_row, nb_obs_rows, codebook,
-                         node_of, intr, inv_sigma2_by_level):
+@functools.partial(jax.jit, static_argnames=("vocab_levels",))
+def _create_points_fused(m, kf, nbp, nb_mask, own_row, nb_obs_rows, vocab_tv,
+                         intr, inv_sigma2_by_level, vocab_levels=4):
     """ONE dispatch for the whole CreateNewMapPoints numeric pipeline
     (``LocalMapping.cc:220-465``): median-depth + baseline gates, vocabulary
     node assignment for the keyframe and every neighbor, epipolar-gated
@@ -100,14 +100,16 @@ def _create_points_fused(m, kf, nbp, nb_mask, own_row, nb_obs_rows, codebook,
         & (n_own >= 10)
 
     # Vocabulary nodes (FeatureVector analog) for kf + neighbors, in-program.
-    # The matcher gate compares COARSE NODES (``node_of``: leaf word -> node,
-    # -1 tail for invalid), matching the reference's FeatureVector ancestor
-    # gate at levelsup (TemplatedVocabulary.h) — leaf-level equality drops
-    # ~95% of true correspondences and starved map-point creation.
-    word1 = node_of[bow.word_ids(m.kf_desc[kf], m.kf_feat_valid[kf], codebook)]
-    word2_b = node_of[jax.vmap(
-        lambda d, v: bow.word_ids(d, v, codebook)
-    )(m.kf_desc[nbp], m.kf_feat_valid[nbp])]
+    # The matcher gate compares COARSE tree nodes (the reference's
+    # FeatureVector ancestor gate at levelsup, TemplatedVocabulary.h) —
+    # leaf-level equality drops ~95% of true correspondences and starved
+    # map-point creation.
+    _, word1 = bow.tree_words_nodes(
+        m.kf_desc[kf], m.kf_feat_valid[kf], vocab_tv, vocab_levels
+    )
+    word2_b = jax.vmap(
+        lambda d, v: bow.tree_words_nodes(d, v, vocab_tv, vocab_levels)[1]
+    )(m.kf_desc[nbp], m.kf_feat_valid[nbp])
 
     free1 = (own_row < 0) & m.kf_feat_valid[kf]
     free2_b = (nb_obs_rows < 0) & m.kf_feat_valid[nbp] & keep[:, None]
@@ -272,21 +274,11 @@ class LocalMapper:
         self.kf_counter = 0
         self.ba_times_ms: List[float] = []
         self.runner = None                     # set by System (async pipeline)
-        # Vocabulary word assignments per keyframe (the FeatureVector analog
-        # used by the triangulation matcher's same-word gate).  Cached per
-        # (slot, creation seq) — a reused culled slot recomputes.
+        # Hierarchical vocabulary: the triangulation matcher gates on the
+        # coarse tree node layer (the DBoW2 FeatureVector levelsup analog).
         from orb_slam_free_space_carving_tpu.ops import bow
 
-        cb = bow.codebook(cfg.loop.vocab_words, cfg.loop.vocab_seed)
-        self._codebook = jnp.asarray(cb)
-        # Leaf word -> coarse node (the DBoW2 FeatureVector node layer; the
-        # matcher gate compares NODES — leaf equality drops ~95% of true
-        # correspondences).
-        self._node_of = jnp.asarray(np.concatenate([
-            bow.coarse_nodes_cached(cfg.loop.vocab_words,
-                                    cfg.loop.vocab_seed),
-            np.asarray([-1], np.int32),          # w = -1 indexes the tail
-        ]))
+        self._vocab = bow.get_vocabulary(cfg.loop)
 
     @property
     def m(self) -> ms.MapArrays:
@@ -463,7 +455,8 @@ class LocalMapper:
         first_nb_d, feats2_d, xyz_d, any_good_d = _create_points_fused(
             m, kf, jnp.asarray(nbp), jnp.asarray(nb_mask),
             jnp.asarray(own), jnp.asarray(self.host.obs_pt[nbp]),
-            self._codebook, self._node_of, self.intr, self._inv_sigma2,
+            self._vocab.tv, self.intr, self._inv_sigma2,
+            vocab_levels=self._vocab.levels,
         )
         first_nb_np, feats2_np, xyz_np, any_good = jax.device_get(
             (first_nb_d, feats2_d, xyz_d, any_good_d)

@@ -35,16 +35,18 @@ import functools
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_cands", "n_words", "min_inliers")
+    jax.jit, static_argnames=("n_cands", "n_words", "levels", "min_inliers")
 )
-def _fused_relocalize(m, bow_db, bow_mask, codebook, feat, intr, key,
-                      n_cands=8, n_words=4096, min_inliers=25):
+def _fused_relocalize(m, db_words, db_weights, bow_mask, vocab_tv, feat,
+                      intr, key, n_cands=8, n_words=65536, levels=4,
+                      min_inliers=25):
     """ONE dispatch for the whole relocalization attempt
     (``Tracking.cc:1350-1511`` + ``KeyFrameDatabase.cc:199-309``):
 
-    BoW-score every keyframe -> top-k candidates -> per-candidate
-    unwindowed descriptor match against the candidate's observed points ->
-    batched PnP RANSAC per candidate -> first success in score order.
+    BoW-score every keyframe (tree descent + sparse-row L1) -> top-k
+    candidates -> per-candidate unwindowed descriptor match against the
+    candidate's observed points -> batched PnP RANSAC per candidate ->
+    first success in score order.
 
     The previous host loop re-traced per candidate (`pt_desc[pids]` with a
     data-dependent size) and ran the matchers eagerly — 127 tiny programs
@@ -55,8 +57,10 @@ def _fused_relocalize(m, bow_db, bow_mask, codebook, feat, intr, key,
     Mf = feat.capacity
     P = m.pt_xyz.shape[0]
 
-    vec = bow.bow_vector(feat.desc, feat.valid, codebook, n_words=n_words)
-    scores = bow.bow_l1_scores(vec, bow_db, bow_mask)
+    vec_ext, _, _ = bow.tree_bow_sparse(
+        feat.desc, feat.valid, vocab_tv, levels, n_words, Mf
+    )
+    scores = bow.sparse_l1_scores(vec_ext, db_words, db_weights, bow_mask)
     top_s, top_kf = jax.lax.top_k(scores, n_cands)
 
     obs = m.obs_pt[top_kf]                       # [C,N0] point ids (-1 none)
@@ -137,10 +141,14 @@ class LoopCloser:
         self.host = map_host
         self.local_mapper = None
         self.intr = camera.intrinsics_array(cfg.camera)
-        W = cfg.loop.vocab_words
         K = cfg.capacity.max_keyframes
-        self._codebook = jnp.asarray(bow.codebook(W, cfg.loop.vocab_seed))
-        self.bow_db = jnp.zeros((K, W), jnp.float32)
+        # Hierarchical vocabulary + sparse inverted-file database (a dense
+        # [K, W] table is 256 KB/row at the 65536-word default).
+        self.vocab = bow.get_vocabulary(cfg.loop)
+        self._row_cap = min(cfg.orb.n_features_pad, self.vocab.n_words)
+        self.db_words = jnp.full((K, self._row_cap), self.vocab.n_words,
+                                 jnp.int32)
+        self.db_weights = jnp.zeros((K, self._row_cap), jnp.float32)
         self.bow_mask = np.zeros(K, bool)
         self.key = jax.random.PRNGKey(cfg.seed + 1)
         self.consistent_groups: List[Tuple[set, int]] = []
@@ -165,10 +173,18 @@ class LoopCloser:
         self._map_ref[0] = v
 
     def reset(self):
-        self.bow_db = jnp.zeros_like(self.bow_db)
+        self.db_words = jnp.full_like(self.db_words, self.vocab.n_words)
+        self.db_weights = jnp.zeros_like(self.db_weights)
         self.bow_mask[:] = False
         self.consistent_groups = []
         self.last_loop_seq = -10**9
+
+    def _bow_row(self, desc, valid):
+        """(dense_ext query vector, sparse words, sparse weights)."""
+        return bow.tree_bow_sparse(
+            desc, valid, self.vocab.tv, self.vocab.levels,
+            self.vocab.n_words, self._row_cap,
+        )
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -180,23 +196,23 @@ class LoopCloser:
         m = self.m
         self.reset()
         for kf in np.where(self.host.kf_valid)[0]:
-            vec = bow.bow_vector(
-                m.kf_desc[int(kf)], m.kf_feat_valid[int(kf)], self._codebook,
-                n_words=self.cfg.loop.vocab_words,
+            _, words, weights = self._bow_row(
+                m.kf_desc[int(kf)], m.kf_feat_valid[int(kf)]
             )
-            self.bow_db = self.bow_db.at[int(kf)].set(vec)
+            self.db_words = self.db_words.at[int(kf)].set(words)
+            self.db_weights = self.db_weights.at[int(kf)].set(weights)
             self.bow_mask[int(kf)] = True
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
         m = self.m
-        vec = bow.bow_vector(
-            m.kf_desc[kf], m.kf_feat_valid[kf], self._codebook,
-            n_words=self.cfg.loop.vocab_words,
+        vec_ext, words, weights = self._bow_row(
+            m.kf_desc[kf], m.kf_feat_valid[kf]
         )
-        self.bow_db = self.bow_db.at[kf].set(vec)
+        self.db_words = self.db_words.at[kf].set(words)
+        self.db_weights = self.db_weights.at[kf].set(weights)
         self.bow_mask[kf] = True
-        self._detect_and_close(kf, vec)
+        self._detect_and_close(kf, vec_ext)
 
     # ------------------------------------------------------------------
     # Loop detection (LoopClosing.cc:103-229)
@@ -230,15 +246,15 @@ class LoopCloser:
         if not cand_mask.any():
             return
 
-        scores = np.asarray(
-            bow.bow_l1_scores(vec, self.bow_db, jnp.asarray(mask))
-        )
+        scores = np.asarray(bow.sparse_l1_scores(
+            vec, self.db_words, self.db_weights, jnp.asarray(mask)
+        ))
         min_score = scores[covis].min() if covis.size else 0.05
         min_score = max(min_score, 0.0)
 
-        cw = np.asarray(
-            bow.common_word_counts(vec, self.bow_db, jnp.asarray(cand_mask))
-        )
+        cw = np.asarray(bow.sparse_common_words(
+            vec, self.db_words, self.db_weights, jnp.asarray(cand_mask)
+        ))
         if cw.max() <= 0:
             return
         ok = cand_mask & (scores >= min_score) & (
@@ -835,10 +851,11 @@ class LoopCloser:
             return (False, np.full(frame.feat.capacity, -1, np.int32),
                     frame.pose)
         any_ok, pose, track_pt, _n_inl = _fused_relocalize(
-            self.m, self.bow_db, jnp.asarray(self.bow_mask), self._codebook,
+            self.m, self.db_words, self.db_weights,
+            jnp.asarray(self.bow_mask), self.vocab.tv,
             frame.feat, self.intr, self._next_key(),
             n_cands=self.cfg.tracking.reloc_max_candidates,
-            n_words=self.cfg.loop.vocab_words,
+            n_words=self.vocab.n_words, levels=self.vocab.levels,
             min_inliers=max(
                 15, self.cfg.tracking.min_matches_after_reloc // 2
             ),

@@ -1117,19 +1117,25 @@ class Tracker:
         if self.state == OK:
             if self.velocity is not None:
                 tracked_ok, track_pt, pose = self._track_with_motion_model(frame)
+                if not tracked_ok:
+                    timing.count("slow.motion_fail")
             if not tracked_ok:
                 tracked_ok, track_pt, pose = self._track_reference_keyframe(frame)
+                if not tracked_ok:
+                    timing.count("slow.refkf_fail")
         if self.state == LOST or not tracked_ok:
             reloc_ok = False
             if self.relocalizer is not None:
                 reloc_ok, track_pt, pose = self.relocalizer.relocalize(frame)
             if not reloc_ok:
+                timing.count("slow.reloc_fail")
                 self.state = LOST
                 self.last_frame = frame._replace(
                     pose=self.last_frame.pose if self.last_frame else frame.pose
                 )
                 self.velocity = None
                 return
+            timing.count("slow.reloc_ok")
             tracked_ok = True
 
         frame = frame._replace(pose=pose)
@@ -1140,11 +1146,13 @@ class Tracker:
             tcfg.min_matches_track_localmap
         )
         if n_inliers < min_required:
+            timing.count("slow.localmap_fail")
             self.state = LOST
             self.velocity = None
             self.last_frame = frame
             self.last_track_pt = track_pt
             return
+        timing.count("slow.ok")
 
         self.state = OK
         self.n_tracked = n_inliers

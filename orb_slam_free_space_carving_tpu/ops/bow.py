@@ -201,6 +201,441 @@ def bow_vector(desc_u8: jnp.ndarray, valid: jnp.ndarray, codebook_u8: jnp.ndarra
     return hist / jnp.maximum(jnp.sum(hist), 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical vocabulary (the DBoW2 tree, TPU-shaped)
+# ---------------------------------------------------------------------------
+#
+# The reference descends a k-ary tree of binary centers per descriptor
+# (``TemplatedVocabulary::transform``, ``TemplatedVocabulary.h:973-1063``,
+# k=10 L=6 -> ~1M words).  A flat argmin matmul stops scaling past ~16k words
+# (the [N,W] Hamming matrix hits hundreds of MB), so large vocabularies use
+# the same tree descent here — vectorized: each level is ONE gather of the
+# current nodes' child centers + ONE [N,k,256] einsum + argmin.  Cost is
+# O(N * k * levels * 256) regardless of W, i.e. microseconds for a 1M-word
+# vocabulary.
+#
+# One representation covers every source (trained regular tree, imported
+# DBoW2 text file, derived tree over a flat codebook):
+
+from typing import NamedTuple
+
+
+class TreeVocabArrays(NamedTuple):
+    """Pytree form of a k-ary binary vocabulary tree.
+
+    ``children[n, j]`` = node id of child j of node n (-1 = none); node 0 is
+    the root.  ``node_word`` maps leaf nodes to dense word ids (-1 internal).
+    ``node_coarse`` maps every node to the dense id of its ancestor at the
+    coarse gating level (the FeatureVector ``levelsup`` layer the matchers
+    gate on; -1 above that level).  ``word_idf`` [W+1] carries the tf-idf
+    word weights (DBoW2's default TF_IDF weighting; the per-leaf ``weight``
+    column of the text format) with a zero tail; all-ones = plain tf.
+    """
+
+    children: jnp.ndarray    # [n_nodes, k] int32
+    node_desc: jnp.ndarray   # [n_nodes, 32] uint8
+    node_word: jnp.ndarray   # [n_nodes] int32
+    node_coarse: jnp.ndarray # [n_nodes] int32
+    word_idf: jnp.ndarray    # [W+1] float32
+
+
+def _pm1_i8(d_u8):
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (d_u8[..., :, None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(d_u8.shape[:-1] + (d_u8.shape[-1] * 8,))
+    return (1 - 2 * bits.astype(jnp.int8)).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def tree_words_nodes(desc_u8: jnp.ndarray, valid: jnp.ndarray,
+                     tv: TreeVocabArrays, levels: int):
+    """Descend the tree for every descriptor.
+
+    Returns (word [N] int32, coarse_node [N] int32), -1 where invalid.
+    A node without children (ragged DBoW2 trees end branches early) stays
+    put, so ``levels`` only needs to be >= the tree depth.
+    """
+    d = _pm1_i8(desc_u8).astype(jnp.int32)                  # [N,256]
+    N = d.shape[0]
+    n_nodes = tv.node_desc.shape[0]
+    node = jnp.zeros((N,), jnp.int32)
+    coarse = jnp.full((N,), -1, jnp.int32)
+    for _ in range(levels):
+        ch = tv.children[node]                              # [N,k]
+        has = ch >= 0
+        cd = tv.node_desc[jnp.clip(ch, 0, n_nodes - 1)]     # [N,k,32]
+        cb = _pm1_i8(cd).astype(jnp.int32)                  # [N,k,256]
+        dot = jnp.einsum("nb,nkb->nk", d, cb)               # MXU-batched
+        ham = jnp.where(has, (256 - dot) // 2, 1 << 30)
+        j = jnp.argmin(ham, axis=1)
+        nxt = jnp.take_along_axis(ch, j[:, None], axis=1)[:, 0]
+        node = jnp.where(jnp.any(has, axis=1), nxt, node)
+        coarse = jnp.maximum(coarse, tv.node_coarse[node])
+    word = tv.node_word[node]
+    return (jnp.where(valid, word, -1),
+            jnp.where(valid, coarse, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "n_words"))
+def tree_bow_vector(desc_u8: jnp.ndarray, valid: jnp.ndarray,
+                    tv: TreeVocabArrays, levels: int, n_words: int):
+    """L1-normalized word histogram via tree descent (DBoW2 tf weighting)."""
+    words, _ = tree_words_nodes(desc_u8, valid, tv, levels)
+    words = jnp.where(valid & (words >= 0), words, n_words)
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(words, jnp.float32), words, num_segments=n_words + 1
+    )[:n_words]
+    hist = hist * tv.word_idf[:n_words]
+    return hist / jnp.maximum(jnp.sum(hist), 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "n_words", "cap"))
+def tree_bow_sparse(desc_u8: jnp.ndarray, valid: jnp.ndarray,
+                    tv: TreeVocabArrays, levels: int, n_words: int,
+                    cap: int):
+    """BoW row in query + database form for LARGE vocabularies.
+
+    A dense [K, W] database row is 256 KB per keyframe at W=65536; a frame
+    holds at most ``cap`` (#features) distinct words, so the inverted-file
+    analog stores (word id, weight) pairs: top-``cap`` of the histogram
+    (aggregated, so duplicate words carry their summed weight — required for
+    exact L1 scoring).  Returns (dense_ext [W+1] with a zero tail for padded
+    gathers, words [cap] int32 (= W for empty), weights [cap] f32).
+    """
+    words, _ = tree_words_nodes(desc_u8, valid, tv, levels)
+    words = jnp.where(valid & (words >= 0), words, n_words)
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(words, jnp.float32), words, num_segments=n_words + 1
+    )
+    hist = hist * tv.word_idf                 # tf-idf (tail idf = 0)
+    total = jnp.maximum(jnp.sum(hist), 1e-9)
+    dense_ext = hist / total
+    w, idx = jax.lax.top_k(dense_ext[:n_words], cap)
+    idx = jnp.where(w > 0, idx, n_words).astype(jnp.int32)
+    return dense_ext, idx, w
+
+
+@jax.jit
+def sparse_l1_scores(q_ext: jnp.ndarray, db_words: jnp.ndarray,
+                     db_weights: jnp.ndarray, db_mask: jnp.ndarray):
+    """L1 similarity s = sum_w min(q_w, d_w) against sparse database rows.
+
+    ``q_ext`` is [W+1] (tail 0) so padded word ids gather 0.  One gather +
+    row reduction — the 64k-word replacement of the dense masked matmul."""
+    qw = q_ext[db_words]                              # [K,cap]
+    s = jnp.sum(jnp.minimum(qw, db_weights), axis=-1)
+    return jnp.where(db_mask, s, -1.0)
+
+
+@jax.jit
+def sparse_common_words(q_ext: jnp.ndarray, db_words: jnp.ndarray,
+                        db_weights: jnp.ndarray, db_mask: jnp.ndarray):
+    """Shared-word counts (KeyFrameDatabase.cc:96-125 inverted-file filter)."""
+    qw = q_ext[db_words]
+    n = jnp.sum((qw > 0) & (db_weights > 0), axis=-1).astype(jnp.float32)
+    return jnp.where(db_mask, n, 0.0)
+
+
+def _kmajority(desc_u8: np.ndarray, k: int, iterations: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """k-majority clustering of binary descriptors -> [k,32] centers.
+
+    The HKmeansStep unit of DBoW2's recursive vocabulary build: Hamming
+    assignment + bitwise-majority center update, empty clusters reseeded
+    from the worst-fit member."""
+    N = desc_u8.shape[0]
+    k = min(k, N)
+    centers = desc_u8[rng.choice(N, k, replace=False)].copy()
+    bits = np.unpackbits(desc_u8, axis=-1)                     # [N,256]
+    for _ in range(iterations):
+        c_bits = np.unpackbits(centers, axis=-1).astype(np.float32)
+        ham = (bits.astype(np.float32) @ (1.0 - 2.0 * c_bits).T
+               + c_bits.sum(-1)[None, :])                      # hamming up to const
+        assign = np.argmin(ham, axis=1)
+        sums = np.zeros((k, 256), np.int64)
+        np.add.at(sums, assign, bits)
+        counts = np.bincount(assign, minlength=k)
+        maj = (sums * 2 > counts[:, None]).astype(np.uint8)
+        new_centers = centers.copy()
+        nz = counts > 0
+        new_centers[nz] = np.packbits(maj[nz], axis=-1)
+        n_empty = int((~nz).sum())
+        if n_empty:
+            worst = rng.choice(N, n_empty, replace=False)
+            new_centers[~nz] = desc_u8[worst]
+        if np.array_equal(new_centers, centers):
+            break
+        centers = new_centers
+    return centers
+
+
+def train_tree_vocab(desc_u8: np.ndarray, branch: int = 16, levels: int = 4,
+                     iterations: int = 6, seed: int = 0,
+                     max_per_node: int = 200_000) -> list:
+    """Recursive k-majority vocabulary build (HKmeansStep analog).
+
+    Returns per-level center arrays [branch**(l+1), 32]; leaf count =
+    branch**levels.  Empty branches inherit their parent's center so the
+    regular-tree arithmetic stays intact.
+    """
+    rng = np.random.default_rng(seed)
+    level_centers = []
+    # groups[g] = indices of descriptors currently assigned to node g.
+    groups = [np.arange(desc_u8.shape[0])]
+    parent_centers = None
+    for lv in range(levels):
+        k_total = branch ** (lv + 1)
+        centers = np.zeros((k_total, 32), np.uint8)
+        new_groups = [np.zeros(0, np.int64)] * k_total
+        for g, idx in enumerate(groups):
+            base = g * branch
+            if idx.size == 0:
+                if parent_centers is not None:
+                    centers[base: base + branch] = parent_centers[g]
+                continue
+            sub = idx if idx.size <= max_per_node else rng.choice(
+                idx, max_per_node, replace=False)
+            c = _kmajority(desc_u8[sub], branch, iterations, rng)
+            centers[base: base + c.shape[0]] = c
+            if c.shape[0] < branch:
+                centers[base + c.shape[0]: base + branch] = c[0]
+            # Assign ALL member descriptors (not just the sample) to children.
+            bits = np.unpackbits(desc_u8[idx], axis=-1).astype(np.float32)
+            c_bits = np.unpackbits(centers[base: base + branch],
+                                   axis=-1).astype(np.float32)
+            ham = bits @ (1.0 - 2.0 * c_bits).T + c_bits.sum(-1)[None, :]
+            a = np.argmin(ham, axis=1)
+            for j in range(branch):
+                new_groups[base + j] = idx[a == j]
+        level_centers.append(centers)
+        groups = new_groups
+        parent_centers = centers
+    return level_centers
+
+
+def tree_from_levels(level_centers: list, branch: int,
+                     coarse_level: int = 2,
+                     word_idf: np.ndarray = None) -> TreeVocabArrays:
+    """Regular per-level center arrays -> TreeVocabArrays (numpy build)."""
+    levels = len(level_centers)
+    counts = [1] + [c.shape[0] for c in level_centers]
+    offsets = np.cumsum([0] + counts)                 # node id base per level
+    n_nodes = int(offsets[-1])
+    children = np.full((n_nodes, branch), -1, np.int32)
+    node_desc = np.zeros((n_nodes, 32), np.uint8)
+    node_word = np.full(n_nodes, -1, np.int32)
+    node_coarse = np.full(n_nodes, -1, np.int32)
+    for lv in range(levels):
+        base = offsets[lv + 1]
+        n = counts[lv + 1]
+        node_desc[base: base + n] = level_centers[lv]
+        # Parents live at the previous level.
+        pbase = offsets[lv]
+        ids = np.arange(n)
+        parents = pbase + ids // branch
+        children[parents, ids % branch] = base + ids
+        lv1 = lv + 1                                  # 1-indexed depth
+        if lv1 == coarse_level:
+            node_coarse[base: base + n] = ids
+        elif lv1 > coarse_level:
+            shift = branch ** (lv1 - coarse_level)
+            node_coarse[base: base + n] = ids // shift
+        if lv1 == levels:
+            node_word[base: base + n] = ids
+    W = counts[-1]
+    idf_ext = np.zeros(W + 1, np.float32)
+    idf_ext[:W] = 1.0 if word_idf is None else word_idf.astype(np.float32)
+    return TreeVocabArrays(
+        children=jnp.asarray(children), node_desc=jnp.asarray(node_desc),
+        node_word=jnp.asarray(node_word), node_coarse=jnp.asarray(node_coarse),
+        word_idf=jnp.asarray(idf_ext),
+    )
+
+
+def load_dbow2_text(path: str, coarse_levelsup: int = 4
+                    ) -> tuple:
+    """Import a DBoW2 text vocabulary (the format written by the reference's
+    ``tools/bin_vocabulary.cc`` converter / ``saveToTextFile``).
+
+    Line 1: ``k L scoring weighting``; each following line describes one node
+    in creation order: ``parent_id is_leaf b0 .. b31 weight``.  Node ids are
+    implicit (root = 0, first listed node = 1, ...); leaves get word ids in
+    listing order.  Returns (TreeVocabArrays, levels, n_words).
+
+    ``coarse_levelsup``: the matcher gate uses the ancestor ``levelsup``
+    levels ABOVE the leaves (reference ORBVocabulary uses L=6, levelsup=4 ->
+    nodes at depth 2), mirrored here as depth = L - levelsup + guard.
+    """
+    with open(path, "r") as f:
+        first = f.readline().split()
+        k, L = int(first[0]), int(first[1])
+        parents, leaf_flags, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf_flags.append(int(parts[1]) != 0)
+            descs.append([int(x) for x in parts[2:34]])
+            weights.append(float(parts[34]) if len(parts) > 34 else 1.0)
+    n = len(parents) + 1                          # + root
+    children = np.full((n, k), -1, np.int32)
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_word = np.full(n, -1, np.int32)
+    depth = np.zeros(n, np.int32)
+    slot_used = np.zeros(n, np.int32)
+    word_ctr = 0
+    word_idf = []
+    for i in range(1, n):
+        p = parents[i - 1]
+        j = slot_used[p]
+        if j < k:
+            children[p, j] = i
+            slot_used[p] += 1
+        depth[i] = depth[p] + 1
+        node_desc[i] = np.asarray(descs[i - 1], np.uint8)
+        if leaf_flags[i - 1]:
+            node_word[i] = word_ctr
+            word_idf.append(weights[i - 1])
+            word_ctr += 1
+    # Coarse ancestor at depth = max(1, L - coarse_levelsup).
+    coarse_depth = max(1, L - coarse_levelsup)
+    node_coarse = np.full(n, -1, np.int32)
+    coarse_ids = np.where(depth == coarse_depth)[0]
+    remap = {int(c): i for i, c in enumerate(coarse_ids)}
+    # Propagate down via parent chains (nodes listed parent-before-child).
+    anc = np.full(n, -1, np.int32)
+    for i in range(1, n):
+        p = parents[i - 1]
+        if depth[i] == coarse_depth:
+            anc[i] = i
+        elif depth[i] > coarse_depth:
+            anc[i] = anc[p]
+    for i in range(n):
+        if anc[i] >= 0:
+            node_coarse[i] = remap[int(anc[i])]
+    idf_ext = np.zeros(word_ctr + 1, np.float32)
+    idf_ext[:word_ctr] = np.asarray(word_idf, np.float32)
+    if not np.any(idf_ext > 0):
+        idf_ext[:word_ctr] = 1.0
+    tv = TreeVocabArrays(
+        children=jnp.asarray(children), node_desc=jnp.asarray(node_desc),
+        node_word=jnp.asarray(node_word), node_coarse=jnp.asarray(node_coarse),
+        word_idf=jnp.asarray(idf_ext),
+    )
+    return tv, L, word_ctr
+
+
+def save_dbow2_text(path: str, level_centers: list, branch: int,
+                    word_idf: np.ndarray = None):
+    """Write a regular tree in the DBoW2 text dialect (round-trip with
+    :func:`load_dbow2_text`; node order = level order, parent before child;
+    leaf ``weight`` column carries the idf)."""
+    levels = len(level_centers)
+    counts = [1] + [c.shape[0] for c in level_centers]
+    offsets = np.cumsum([0] + counts)
+    with open(path, "w") as f:
+        f.write(f"{branch} {levels} 0 0\n")
+        for lv in range(levels):
+            pbase = offsets[lv]
+            centers = level_centers[lv]
+            is_leaf = 1 if lv == levels - 1 else 0
+            for i, c in enumerate(centers):
+                parent = pbase + i // branch
+                dstr = " ".join(str(int(b)) for b in c)
+                w = 1.0 if (not is_leaf or word_idf is None) \
+                    else float(word_idf[i])
+                f.write(f"{parent} {is_leaf} {dstr} {w:.6f}\n")
+
+
+# -- vocabulary factory ------------------------------------------------------
+
+_TREE_CACHE: dict = {}
+
+
+def _tree_vocab_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "data", "vocab_tree.npz")
+
+
+class Vocabulary:
+    """Loaded vocabulary: tree arrays + metadata, shared by the match gate
+    (coarse nodes), the loop/reloc BoW database, and place recognition."""
+
+    def __init__(self, tv: TreeVocabArrays, levels: int, n_words: int,
+                 branch: int):
+        self.tv = tv
+        self.levels = levels
+        self.n_words = n_words
+        self.branch = branch
+
+    def words_nodes(self, desc_u8, valid):
+        return tree_words_nodes(desc_u8, valid, self.tv, self.levels)
+
+    def bow_vector(self, desc_u8, valid):
+        return tree_bow_vector(desc_u8, valid, self.tv, self.levels,
+                               self.n_words)
+
+
+def get_vocabulary(loop_cfg) -> Vocabulary:
+    """Resolve the configured vocabulary (cached).
+
+    Priority: ``vocab_path`` (DBoW2 text import) > trained tree file
+    (``data/vocab_tree.npz``, when its word count matches) > tree derived
+    from the flat trained/seeded codebook (hierarchical clustering of the
+    leaf codes — preserves the trained leaves; the descent is then the
+    approximate-nearest assignment DBoW2 itself uses).
+    """
+    import os
+
+    path = getattr(loop_cfg, "vocab_path", None)
+    coarse = getattr(loop_cfg, "vocab_coarse_level", 1)
+    key = (path, loop_cfg.vocab_words, loop_cfg.vocab_seed, coarse)
+    hit = _TREE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if path:
+        tv, levels, n_words = load_dbow2_text(path)
+        vocab = Vocabulary(tv, levels, n_words, int(tv.children.shape[1]))
+    else:
+        branch = 16
+        levels = max(1, int(np.ceil(np.log(max(loop_cfg.vocab_words, 2))
+                                    / np.log(branch))))
+        trained = _tree_vocab_path()
+        lvl, idf = None, None
+        if os.path.exists(trained):
+            try:
+                data = np.load(trained)
+                if int(data["branch"]) == branch and \
+                        data[f"level{levels - 1}"].shape[0] == loop_cfg.vocab_words:
+                    lvl = [data[f"level{i}"] for i in range(levels)]
+                    idf = data["idf"] if "idf" in data.files else None
+            except Exception:
+                lvl = None
+        if lvl is None:
+            # Derive a tree over the flat codebook's leaves.
+            leaves = codebook(loop_cfg.vocab_words, loop_cfg.vocab_seed)
+            lvl = _levels_over_leaves(leaves, branch, levels,
+                                      seed=loop_cfg.vocab_seed)
+        tv = tree_from_levels(lvl, branch, coarse_level=min(coarse, levels),
+                              word_idf=idf)
+        vocab = Vocabulary(tv, levels, loop_cfg.vocab_words, branch)
+    _TREE_CACHE[key] = vocab
+    return vocab
+
+
+def _levels_over_leaves(leaves: np.ndarray, branch: int, levels: int,
+                        seed: int = 0) -> list:
+    """Build a regular tree whose training DATA is the flat codebook's leaf
+    codes (recursive k-majority, same routine as the descriptor-trained
+    vocabulary) — the descent then lands near the trained leaves with
+    balanced branch coverage."""
+    return train_tree_vocab(leaves, branch=branch, levels=levels,
+                            iterations=5, seed=seed + 3)
+
+
 @jax.jit
 def bow_l1_scores(query: jnp.ndarray, database: jnp.ndarray,
                   db_mask: jnp.ndarray) -> jnp.ndarray:

@@ -104,8 +104,13 @@ def carve_votes(
     flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]     # [B,S]
     flat = jnp.where(inb, flat, R * R * R)                       # OOB -> dropped
     # Never carve the cell containing the observed point (tet-walk stop).
+    # Only valid for in-bounds targets: an OOB index flattened with negative
+    # or >=R components aliases an unrelated in-bounds voxel (e.g. (0,1,-2)
+    # -> flat R-2 = voxel (0,0,R-2)) and would silently suppress its votes.
     tgt_idx = jnp.floor((ray_targets - lo) / scale).astype(jnp.int32)
+    tgt_inb = jnp.all((tgt_idx >= 0) & (tgt_idx < R), axis=-1)
     tgt_flat = (tgt_idx[..., 0] * R + tgt_idx[..., 1]) * R + tgt_idx[..., 2]
+    tgt_flat = jnp.where(tgt_inb, tgt_flat, R * R * R)
     flat = jnp.where(flat == tgt_flat[:, None], R * R * R, flat)
 
     # Deduplicate consecutive samples landing in the same voxel so each ray

@@ -58,12 +58,14 @@ def _load():
         ctypes.c_int64,
     ]
     lib.point_observations.restype = ctypes.c_int64
-    if hasattr(lib, "kfs_observing"):
-        lib.kfs_observing.argtypes = [
-            c_i32p, c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            c_i32p, ctypes.c_int64, c_i32p, ctypes.c_int64,
-        ]
-        lib.kfs_observing.restype = ctypes.c_int64
+    for fname in ("kfs_observing", "kfs_observing_top"):
+        if hasattr(lib, fname):
+            fn = getattr(lib, fname)
+            fn.argtypes = [
+                c_i32p, c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                c_i32p, ctypes.c_int64, c_i32p, ctypes.c_int64,
+            ]
+            fn.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -136,19 +138,24 @@ def local_point_ids(obs: np.ndarray, kfs: np.ndarray, pt_valid: np.ndarray,
 
 def kfs_observing(obs: np.ndarray, kf_valid: np.ndarray, pids: np.ndarray,
                   M: int, cap: int = 256) -> np.ndarray:
-    """Keyframe slots observing ANY of `pids` (early-exit native row scan;
-    replaces an O(K*N) np.isin per slow-path frame)."""
+    """Keyframe slots observing `pids`, ranked by shared-observation count
+    (UpdateLocalKeyFrames keeps the keyframes sharing the MOST points,
+    reference src/Tracking.cc:1255-1348); native counting scan, numpy
+    fallback."""
     K, N = obs.shape
     lib = _load()
-    if lib is None or not hasattr(lib, "kfs_observing"):
-        mask = np.isin(obs, pids).any(axis=1) & kf_valid[:K].astype(bool)
-        return np.where(mask)[0].astype(np.int32)[:cap]
+    if lib is None or not hasattr(lib, "kfs_observing_top"):
+        counts = (np.isin(obs, pids).sum(axis=1)
+                  * kf_valid[:K].astype(np.int64))
+        order = np.argsort(-counts, kind="stable")
+        order = order[counts[order] > 0]
+        return order.astype(np.int32)[:cap]
     obs = np.ascontiguousarray(obs, np.int32)
     kv = np.ascontiguousarray(kf_valid, np.uint8)
     pids = np.ascontiguousarray(pids, np.int32)
     out = np.zeros(cap, np.int32)
-    n = lib.kfs_observing(_i32p(obs), _u8p(kv), K, N, M, _i32p(pids),
-                          len(pids), _i32p(out), cap)
+    n = lib.kfs_observing_top(_i32p(obs), _u8p(kv), K, N, M, _i32p(pids),
+                              len(pids), _i32p(out), cap)
     return out[:n]
 
 

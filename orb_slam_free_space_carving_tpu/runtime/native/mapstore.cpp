@@ -112,6 +112,38 @@ int64_t kfs_observing(const int32_t* obs, const uint8_t* kf_valid,
     return n;
 }
 
+// Keyframes observing the given point ids, ranked by SHARED-OBSERVATION
+// COUNT (descending) up to `cap`.  The reference's UpdateLocalKeyFrames
+// keeps the keyframes sharing the MOST points (src/Tracking.cc:1255-1348);
+// the early-exit variant above truncates in slot order, which can keep
+// low-overlap early slots over high-overlap late ones once more than `cap`
+// keyframes observe the tracked set (advisor r4).
+int64_t kfs_observing_top(const int32_t* obs, const uint8_t* kf_valid,
+                          int64_t K, int64_t N, int64_t M,
+                          const int32_t* pids, int64_t n_pids,
+                          int32_t* out_kfs, int64_t cap) {
+    std::vector<uint8_t> pt_mask(M, 0);
+    for (int64_t i = 0; i < n_pids; ++i) {
+        int32_t p = pids[i];
+        if (p >= 0 && p < M) pt_mask[p] = 1;
+    }
+    std::vector<std::pair<int32_t, int32_t>> hits;  // (-count, kf)
+    for (int64_t k = 0; k < K; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = obs + k * N;
+        int32_t c = 0;
+        for (int64_t f = 0; f < N; ++f) {
+            int32_t p = row[f];
+            if (p >= 0 && p < M && pt_mask[p]) ++c;
+        }
+        if (c > 0) hits.emplace_back(-c, (int32_t)k);
+    }
+    int64_t n = std::min<int64_t>(cap, (int64_t)hits.size());
+    std::partial_sort(hits.begin(), hits.begin() + n, hits.end());
+    for (int64_t i = 0; i < n; ++i) out_kfs[i] = hits[i].second;
+    return n;
+}
+
 // Find all (kf, feat) pairs observing a given point id.
 // Returns count; pairs written as kf,feat interleaved.
 int64_t point_observations(const int32_t* obs, int64_t K, int64_t N,
