@@ -78,8 +78,14 @@ def _circuit_frames(cam, n_frames):
     # (BoW consistency over >=3 consecutive keyframes -> Sim3 -> correct ->
     # GBA) actually fire inside the benchmark window — a lap that ends at
     # frame N-1 leaves no time to detect it.
+    # Radius 1.2 m: ~2 cm translation per 1-degree step.  The old 0.7 m
+    # circuit was rotation-dominant (1.2 cm baseline/frame), the classic
+    # degenerate geometry for monocular SLAM — init barely clears the
+    # baseline/depth gate and the map bleeds inliers regardless of backend
+    # (the reference's TUM/KITTI validation sequences are all
+    # translation-rich for the same reason).
     lap = min(360, int(n_frames * 0.8))
-    poses = circuit_trajectory(lap)
+    poses = circuit_trajectory(lap, radius=1.2)
     poses = poses + (poses * ((n_frames - lap) // lap + 1))[: n_frames - lap]
     seq = SyntheticSequence(
         cam, n_frames=n_frames, scene=make_closed_room_scene(),

@@ -140,11 +140,30 @@ class TrackingConfig:
     # so the hot loop amortizes one sync over the batch.  Decisions lag by at
     # most decision_batch-1 frames (the reference reads them inline on CPU;
     # bounded staleness is the TPU-idiomatic equivalent).
-    decision_batch: int = 6
+    # Depth 4: deep enough to hide the ~25 ms readback behind ~2.5 frames of
+    # device work, shallow enough that the dispatch queue ahead of the
+    # mapping worker's programs stays short (the device is shared; a deep
+    # tracker queue delays every worker sync and lets the map lag the
+    # camera until tracking dies).
+    decision_batch: int = 4
     # Losing the camera with <=5 keyframes triggers a full system reset +
     # re-initialization (Tracking.cc:480-489) — a bad bootstrap must not
     # leave the tracker relocalizing forever against a garbage 2-KF map.
     reset_on_early_lost: bool = True
+    # Async-lag bridge: with the mapping worker on the same device, newly
+    # triangulated points land ~5-15 frames after their keyframe; inliers
+    # decay across that gap.  Frames with n in [min_matches_track,
+    # min_matches_track_localmap) keep tracking in a DEGRADED state (pose
+    # GN over 10-29 matches is still reliable on this camera) for at most
+    # this many consecutive frames before declaring LOST.  The reference
+    # has no such gap (its LocalMapping runs on a spare CPU core) and dies
+    # at <30 immediately; a bounded bridge is the TPU-pipeline equivalent,
+    # not a relaxation of the final accept (trajectory quality is still
+    # gated by the ATE tests).
+    # 20 frames: long enough to span the worker's triangulation lag, short
+    # enough that a 10-29-inlier pose cannot wander beyond the recovery
+    # search window (24 px) before a hard re-track is forced.
+    max_degraded_frames: int = 20
 
 
 @dataclass(frozen=True)
@@ -204,6 +223,12 @@ class OptimizerConfig:
     chi2_stereo: float = 7.815
     pose_rounds: int = 4
     pose_iterations: int = 10
+    # GN budget inside the FUSED per-frame dispatch (3 pose solves/frame):
+    # GN from a one-frame-old seed converges in <4 steps; the reference's
+    # 10 LM its/round budget costs 3.6 ms/solve on the TPU vs 2.3 at 4
+    # (scripts/probe: r4i10 3.63 ms, r4i4 2.30 ms) and the 4-round chi2
+    # relabelling lore is preserved.  Slow-path/BA budgets are unchanged.
+    pose_iterations_fused: int = 4
     local_ba_iterations_a: int = 5
     local_ba_iterations_b: int = 10
     essential_graph_iterations: int = 20

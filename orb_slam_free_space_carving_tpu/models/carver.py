@@ -87,7 +87,7 @@ def carve_mesh(origins: np.ndarray, targets: np.ndarray, ccfg):
     pts_all = jnp.asarray(targets)
     lo = jnp.asarray(lo_np, jnp.float32)
     hi = jnp.asarray(hi_np, jnp.float32)
-    votes, evidence = carving.carve_votes(
+    votes, evidence = carving.carve_votes_chunked(
         jnp.asarray(origins), pts_all, jnp.asarray(mask), lo, hi,
         resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,
     )
@@ -485,7 +485,7 @@ class Carver:
             origins = np.pad(origins, ((0, pad), (0, 0)))
             targets = np.pad(targets, ((0, pad), (0, 0)))
         ccfg = self.cfg.carving
-        return carving.carve_votes(
+        return carving.carve_votes_chunked(
             jnp.asarray(origins), jnp.asarray(targets), jnp.asarray(mask),
             jnp.asarray(self._lo, jnp.float32), jnp.asarray(self._hi, jnp.float32),
             resolution=ccfg.grid_resolution, n_samples=ccfg.ray_samples,

@@ -270,8 +270,17 @@ class LocalMapper:
         self._inv_sigma2 = jnp.asarray(
             1.0 / np.array(cfg.orb.level_sigma2, np.float32)
         )
-        self.recent_points: List[tuple] = []   # (pid, created_at_kf)
+        self.recent_points: List[tuple] = []   # (pid, created_at_fuse_round)
         self.kf_counter = 0
+        # Completed refine (fuse + BA) rounds: the probation clock for point
+        # culling.  The reference ages points in KEYFRAMES because its fuse
+        # runs synchronously per keyframe (LocalMapping.cc:181-218); here
+        # refinement rides the deferred lane and coalesces under backlog, so
+        # keyframe age would execute healthy 2-obs points before fuse ever
+        # had a chance to add their third observation (measured: 2/3 of all
+        # created points culled on the async bench).  In deterministic mode
+        # refine runs per keyframe and the two clocks coincide.
+        self.fuse_counter = 0
         self.ba_times_ms: List[float] = []
         self.runner = None                     # set by System (async pipeline)
         # Hierarchical vocabulary: the triangulation matcher gates on the
@@ -298,12 +307,19 @@ class LocalMapper:
         reference's monocular branch refuses KFs while mapping is busy but
         ABORTS the running local BA to drain fast (Tracking.cc:1041-1059
         InterruptBA); its stereo branch queues up to 3.  Here refinement
-        rides the deferred lane (preempted by keyframe work), so only
-        critical items gate admission — without this a busy worker throttles
-        keyframes to the c1a fallback cadence and the map starves under
-        rotation."""
+        rides the deferred lane (preempted by keyframe work) AND queued
+        keyframes coalesce their triangulation (see on_keyframe), so a
+        deeper backlog stays serviceable — without this a busy worker
+        throttles keyframes to the c1a fallback cadence, the map lags the
+        camera, and tracking starves to death mid-trajectory."""
         return (self.runner is None
-                or self.runner.backlog(self.runner.CRITICAL) < 2)
+                or self.runner.backlog(self.runner.CRITICAL) < 4)
+
+    def _later_kf_waiting(self) -> bool:
+        """True when another keyframe item is already queued behind the one
+        being processed (backlog counts the running item)."""
+        return (self.runner is not None and not self.runner.deterministic
+                and self.runner.backlog(self.runner.CRITICAL) > 1)
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
@@ -315,10 +331,22 @@ class LocalMapper:
             if self.loop_closer is not None:
                 self.loop_closer.on_keyframe(kf)
             return
-        with timing.span("worker.cull_points"):
-            self._cull_recent_points(kf)
-        with timing.span("worker.create_points"):
-            self._create_new_points(kf)
+        # Coalescing under backlog: when newer keyframes already wait in the
+        # critical lane, this keyframe only pays the cheap half (its arrays
+        # were inserted by the mapside item; covisibility + journal done) —
+        # the NEWEST queued keyframe runs the one triangulation/culling pass,
+        # with all the skipped keyframes present as covisible neighbors.
+        # This keeps worker service rate above keyframe demand when the
+        # tracker runs faster than real time (the single device is shared:
+        # every worker sync waits behind queued tracker programs, so per-KF
+        # worker cost is ~0.4 s while the circuit demands ~3 KF/s).
+        if self._later_kf_waiting():
+            timing.count("worker.kf_coalesced")
+        else:
+            with timing.span("worker.cull_points"):
+                self._cull_recent_points(kf)
+            with timing.span("worker.create_points"):
+                self._create_new_points(kf)
         # Reference scheduling (LocalMapping::Run, LocalMapping.cc:56-104):
         # ProcessNewKeyFrame + CreateNewMapPoints run for EVERY keyframe —
         # the tracker's local map freshness depends on them — while
@@ -343,11 +371,21 @@ class LocalMapper:
                 with timing.span("worker.loop_closing"):
                     self.loop_closer.on_keyframe(kf)
             else:
+                self._latest_loop_kf = kf
                 self.runner.submit(self._loop_detect, kf,
                                    priority=self.runner.DEFERRED)
 
     def _loop_detect(self, kf: int):
         if not self.host.kf_valid[kf]:
+            return
+        if getattr(self, "_latest_loop_kf", kf) != kf:
+            # Superseded: a newer keyframe's detection covers this revisit
+            # (detection is per-place, not per-frame; a full Sim3 attempt
+            # costs ~1 s on a busy device queue and 60 of them starved the
+            # deferred lane of every BA/fuse item on the async bench).  The
+            # BoW row must still be inserted for future queries.
+            with timing.span("worker.loop_closing"):
+                self.loop_closer.insert_only(kf)
             return
         with timing.span("worker.loop_closing"):
             self.loop_closer.on_keyframe(kf)
@@ -356,14 +394,23 @@ class LocalMapper:
         """Fuse + local BA + keyframe culling for ``kf`` (the deferred-lane
         half of keyframe processing)."""
         if (self.runner is not None and not self.runner.deterministic
-                and getattr(self, "_latest_refine_kf", kf) != kf):
+                and getattr(self, "_latest_refine_kf", kf) != kf
+                and self.kf_counter - getattr(self, "_last_refine_done", 0) < 3):
             # A newer keyframe superseded this refinement; its own local BA
             # window covers this keyframe (it is covisible by construction).
+            # BUT supersession must not starve refinement entirely: under
+            # steady keyframe traffic every refine would be superseded and
+            # local BA would never run (measured: 3 BA calls over a 438-frame
+            # async bench vs ~20 deterministic) — unrefined monocular
+            # geometry drifts until projection windows miss and tracking
+            # collapses.  At most 2 consecutive supersessions are honored.
             return
+        self._last_refine_done = self.kf_counter
         if not self.host.kf_valid[kf]:
             return
         with timing.span("worker.fuse"):
             self._fuse_neighbors(kf)
+        self.fuse_counter += 1
         with timing.span("worker.local_ba"):
             self._local_bundle_adjustment(kf)
         with timing.span("worker.cull_kfs"):
@@ -386,10 +433,10 @@ class LocalMapper:
         sub = self.host.obs_pt[: self.host.n_kf_slots]
         flat = sub[sub >= 0]
         obs_count = np.bincount(flat, minlength=self.cfg.capacity.max_points)
-        for pid, born_kf_count in self.recent_points:
+        for pid, born_fuse_count in self.recent_points:
             if not self.host.pt_valid[pid]:
                 continue
-            age = self.kf_counter - born_kf_count
+            age = self.fuse_counter - born_fuse_count
             ratio = fnd[pid] / max(int(vis[pid]), 1)
             nobs = int(obs_count[pid])
             if ratio < self.cfg.mapping.cull_found_ratio:
@@ -399,7 +446,7 @@ class LocalMapper:
             elif age >= 3:
                 pass  # survived probation
             else:
-                keep.append((pid, born_kf_count))
+                keep.append((pid, born_fuse_count))
         self.recent_points = keep
         if to_kill:
             self._delete_points(np.array(to_kill, np.int32))
@@ -452,15 +499,16 @@ class LocalMapper:
         nbp[: neighbors.size] = neighbors
         nb_mask[: neighbors.size] = True
 
-        first_nb_d, feats2_d, xyz_d, any_good_d = _create_points_fused(
-            m, kf, jnp.asarray(nbp), jnp.asarray(nb_mask),
-            jnp.asarray(own), jnp.asarray(self.host.obs_pt[nbp]),
-            self._vocab.tv, self.intr, self._inv_sigma2,
-            vocab_levels=self._vocab.levels,
-        )
-        first_nb_np, feats2_np, xyz_np, any_good = jax.device_get(
-            (first_nb_d, feats2_d, xyz_d, any_good_d)
-        )
+        with timing.span("create.fused_wait"):
+            first_nb_d, feats2_d, xyz_d, any_good_d = _create_points_fused(
+                m, kf, jnp.asarray(nbp), jnp.asarray(nb_mask),
+                jnp.asarray(own), jnp.asarray(self.host.obs_pt[nbp]),
+                self._vocab.tv, self.intr, self._inv_sigma2,
+                vocab_levels=self._vocab.levels,
+            )
+            first_nb_np, feats2_np, xyz_np, any_good = jax.device_get(
+                (first_nb_d, feats2_d, xyz_d, any_good_d)
+            )
         if not any_good.any():
             return
         feats1 = np.where(any_good)[0]
@@ -523,8 +571,9 @@ class LocalMapper:
             .at[nb_safe, f2_safe].set(ids_masked, mode="drop")
         )
         self.m = m
+        timing.count("create.n_new", int(n_new))
         for pid in pids:
-            self.recent_points.append((int(pid), self.kf_counter))
+            self.recent_points.append((int(pid), self.fuse_counter))
         # CARV journal: extend the latest keyframe event's new points.
         for ev in reversed(self.host.journal):
             if ev.kind == "keyframe" and ev.kf == kf:
@@ -728,11 +777,23 @@ class LocalMapper:
         chi2_w = chi2_all[:n_obs]
         # NaN-aware: ~(chi2 <= th) counts non-finite rows as outliers, so a
         # diverged solve (NaN chi2 compares False both ways) is discarded.
-        if n_obs and (~(chi2_w <= self.cfg.optimizer.chi2_mono)).mean() > 0.5:
+        bad_frac = float((~(chi2_w <= self.cfg.optimizer.chi2_mono)).mean()) \
+            if n_obs else 0.0
+        import os as _os
+
+        if _os.environ.get("OSFSC_DEBUG"):
+            import sys as _sys
+
+            print(f"[osfsc] localBA kf={kf} obs={n_obs} "
+                  f"bad_frac={bad_frac:.2f}", file=_sys.stderr, flush=True)
+        if n_obs and bad_frac > 0.5:
+            timing.count("ba.discarded")
             return
         if not (np.all(np.isfinite(new_poses_np))
                 and np.all(np.isfinite(new_pts_np))):
+            timing.count("ba.discarded")
             return
+        timing.count("ba.accepted")
 
         # Write back poses + points (pad slot indices to capacity C; unused
         # and fixed lanes get an OOB index and are dropped by the scatter).
@@ -810,12 +871,19 @@ class LocalMapper:
     def _cull_keyframes(self, kf: int):
         """KeyFrameCulling (LocalMapping.cc:645-709): a covisible KF whose
         >=90% points are observed by >=3 other keyframes is redundant."""
+        import os as _os
+
+        if _os.environ.get("OSFSC_NO_KFCULL"):
+            return
         sub = self.host.obs_pt[: self.host.n_kf_slots]
         flat = sub[sub >= 0]
         obs_count = np.bincount(flat, minlength=self.cfg.capacity.max_points)
+        protected = -1
+        if getattr(self, "protected_kf", None) is not None:
+            protected = int(self.protected_kf())
         for cand in self.host.covisible_keyframes(kf, 10, min_weight=1):
             cand = int(cand)
-            if cand in (0, 1) or cand == kf:
+            if cand in (0, 1) or cand == kf or cand == protected:
                 continue
             row = self.host.obs_pt[cand]
             pids = row[row >= 0]
@@ -832,6 +900,12 @@ class LocalMapper:
     def _remove_keyframe(self, kf: int):
         """SetBadFlag for a keyframe (KeyFrame.cc:479-535): drop observations,
         re-parent children, free the slot, emit CARV del-obs events."""
+        import os as _os
+
+        if _os.environ.get("OSFSC_DEBUG"):
+            import sys as _sys
+
+            print(f"[osfsc] cull KF {kf}", file=_sys.stderr, flush=True)
         row = self.host.obs_pt[kf]
         feats = np.where(row >= 0)[0]
         for f in feats:

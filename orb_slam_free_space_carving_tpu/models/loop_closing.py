@@ -27,7 +27,9 @@ import numpy as np
 from orb_slam_free_space_carving_tpu.config import SystemConfig
 from orb_slam_free_space_carving_tpu.models import map_state as ms
 from orb_slam_free_space_carving_tpu.models.global_ba import GlobalBA
-from orb_slam_free_space_carving_tpu.ops import bow, horn, matching, pnp, sim3opt
+from orb_slam_free_space_carving_tpu.ops import (
+    bow, horn, matching, pnp, pose_opt, sim3opt,
+)
 from orb_slam_free_space_carving_tpu.utils import camera, lie
 
 
@@ -70,19 +72,63 @@ def _fused_relocalize(m, db_words, db_weights, bow_mask, vocab_tv, feat,
     pxyz = m.pt_xyz[pids]                        # [C,N0,3]
     pvalid = m.pt_valid[pids] & has
 
+    # SearchByBoW semantics (ORBmatcher.cc:546-655): only same-vocab-node
+    # pairs are match candidates.  Without this gate, repetitive texture
+    # yields descriptor-perfect but geometrically random matches (measured:
+    # 522 matches at median Hamming 25, <5% geometric inliers — unsolvable
+    # for any RANSAC); the node gate restores a majority-inlier match set.
+    _, fnode = bow.tree_words_nodes(feat.desc, feat.valid, vocab_tv, levels)
+
     def per_cand(desc_c, valid_c, xyz_c, k):
+        _, pnode = bow.tree_words_nodes(desc_c, valid_c, vocab_tv, levels)
         dist = matching.hamming_matrix(desc_c, feat.desc)
-        mask = valid_c[:, None] & feat.valid[None, :]
+        mask = valid_c[:, None] & feat.valid[None, :] \
+            & (pnode[:, None] == fnode[None, :]) & (pnode >= 0)[:, None]
         idx, best = matching.masked_match(dist, mask, max_dist=50.0,
                                           ratio=0.75)
         idx = matching._dedup_targets(idx, best, Mf)
         matched = idx >= 0
         sel = jnp.clip(idx, 0, Mf - 1)
         uv = feat.uv_und[sel]
+        # 512 six-point hypotheses per candidate per frame: the inlier
+        # fraction of BoW matches on repetitive texture sits near 0.3-0.4
+        # even node-gated; 512 draws give ~30% per-frame hit probability,
+        # the guided stage below rescues marginal poses, and reloc RETRIES
+        # every frame — the same recovery profile as the reference's EPnP
+        # (300 its/frame, re-attempted per frame, Tracking.cc:1394-1483).
+        # (2048 in-program hypotheses trip a TPU kernel fault in the fused
+        # reloc program; 8x512 compiles and runs clean.)
         res = pnp.solve_pnp_ransac(
-            xyz_c, uv, matched, intr, k, min_inliers=min_inliers
+            xyz_c, uv, matched, intr, k, n_samples=512,
+            min_inliers=min_inliers
         )
-        return idx, jnp.sum(matched), res
+        # Guided second stage (Tracking.cc:1442-1483): project every
+        # candidate point through the RANSAC pose, window-match (reusing the
+        # Hamming matrix), and re-optimize over the union.
+        xc = lie.se3_apply(res.pose, xyz_c)
+        uvp = camera.project(xc, intr)
+        vis = (xc[..., 2] > 0.05) & valid_c
+        wmask = matching.window_mask(uvp, feat.uv_und, 10.0, vis, feat.valid)
+        idx2, best2 = matching.masked_match(dist, wmask, max_dist=100.0)
+        idx2 = matching._dedup_targets(idx2, best2, Mf)
+        idx_m = jnp.where(idx >= 0, idx, idx2)
+        matched2 = idx_m >= 0
+        sel2 = jnp.clip(idx_m, 0, Mf - 1)
+        res2 = pose_opt.optimize_pose(
+            res.pose, xyz_c, feat.uv_und[sel2],
+            jnp.ones_like(xc[..., 0]), matched2, intr,
+        )
+        better = res2.n_inliers >= res.n_inliers
+        n_best = jnp.maximum(res.n_inliers, res2.n_inliers)
+        final = pnp.PnPResult(
+            ok=n_best >= min_inliers,
+            pose=jnp.where(better, res2.pose, res.pose),
+            inliers=jnp.where(better, res2.inliers & matched2,
+                              res.inliers & matched),
+            n_inliers=n_best,
+        )
+        idx_out = jnp.where(better, idx_m, idx)
+        return idx_out, jnp.sum(matched2), final
 
     keys = jax.random.split(key, n_cands)
     idx_c, n_match_c, res_c = jax.vmap(per_cand)(pdesc, pvalid, pxyz, keys)
@@ -102,7 +148,8 @@ def _fused_relocalize(m, db_words, db_weights, bow_mask, vocab_tv, feat,
     track_pt = jnp.full((Mf,), -1, jnp.int32).at[tgt].set(
         jnp.where(good, obs_w, -1).astype(jnp.int32), mode="drop"
     )
-    return any_ok, pose, track_pt, res_c.n_inliers[win]
+    diag = (top_s, top_kf, n_match_c, res_c.n_inliers)
+    return any_ok, pose, track_pt, res_c.n_inliers[win], diag
 
 
 @jax.jit
@@ -204,6 +251,15 @@ class LoopCloser:
             self.bow_mask[int(kf)] = True
 
     # ------------------------------------------------------------------
+    def insert_only(self, kf: int):
+        """Insert the keyframe's BoW row without running detection (used by
+        the worker when a newer keyframe's detection supersedes this one)."""
+        m = self.m
+        _, words, weights = self._bow_row(m.kf_desc[kf], m.kf_feat_valid[kf])
+        self.db_words = self.db_words.at[kf].set(words)
+        self.db_weights = self.db_weights.at[kf].set(weights)
+        self.bow_mask[kf] = True
+
     def on_keyframe(self, kf: int):
         m = self.m
         vec_ext, words, weights = self._bow_row(
@@ -226,6 +282,12 @@ class LoopCloser:
         if n_kf < 10 or host.kf_seq[kf] < 10:
             return
         if host.kf_seq[kf] - self.last_loop_seq < 10:
+            return
+        # Cooldown after a round of FAILED Sim3 attempts: retrying the same
+        # (still-consistent) candidates every keyframe costs ~1 s each on a
+        # busy device queue; the reference affords per-KF retries because its
+        # EPnP/Sim3 attempts are sub-ms (LoopClosing.cc:263-343).
+        if host.kf_seq[kf] - getattr(self, "_sim3_fail_seq", -10**9) < 3:
             return
 
         covis = host.covisible_keyframes(kf, 30, min_weight=15)
@@ -312,13 +374,16 @@ class LoopCloser:
         if not enough:
             return
 
-        # Try every consistent candidate (the reference's ComputeSim3 loops
-        # over mvpEnoughConsistentCandidates, LoopClosing.cc:263-343).
-        for cand_kf in enough[: self.cfg.capacity.loop_candidates]:
+        # Try the best consistent candidates (the reference's ComputeSim3
+        # loops over all of mvpEnoughConsistentCandidates, LoopClosing.cc:
+        # 263-343; capped at 3 per keyframe here — each attempt is a chain
+        # of full device programs — with the failed-round cooldown above).
+        for cand_kf in enough[: min(3, self.cfg.capacity.loop_candidates)]:
             if self._compute_sim3_and_correct(kf, cand_kf):
                 self.last_loop_seq = int(self.host.kf_seq[kf])
                 self.consistent_groups = []
                 return
+        self._sim3_fail_seq = int(self.host.kf_seq[kf])
 
     # ------------------------------------------------------------------
     def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
@@ -850,7 +915,7 @@ class LoopCloser:
         if not self.bow_mask.any():
             return (False, np.full(frame.feat.capacity, -1, np.int32),
                     frame.pose)
-        any_ok, pose, track_pt, _n_inl = _fused_relocalize(
+        any_ok, pose, track_pt, _n_inl, _diag = _fused_relocalize(
             self.m, self.db_words, self.db_weights,
             jnp.asarray(self.bow_mask), self.vocab.tv,
             frame.feat, self.intr, self._next_key(),
@@ -861,6 +926,16 @@ class LoopCloser:
             ),
         )
         if not bool(any_ok):
+            import os as _os
+
+            if _os.environ.get("OSFSC_DEBUG"):
+                import sys as _sys
+
+                s, kfc, nm, ninl = jax.device_get(_diag)
+                print(f"[osfsc] reloc fail: kfs={kfc.tolist()} "
+                      f"scores={np.round(s, 3).tolist()} "
+                      f"matches={nm.tolist()} pnp_inl={ninl.tolist()}",
+                      file=_sys.stderr, flush=True)
             return (False, np.full(frame.feat.capacity, -1, np.int32),
                     frame.pose)
         return True, np.asarray(track_pt), pose

@@ -78,6 +78,13 @@ class System:
         )
         self.tracker.reset_cb = self.reset
         self.local_mapper.runner = self.runner
+        # KeyFrameCulling must never erase the tracker's CURRENT reference
+        # keyframe: n_ref, ref-KF tracking and the local-buffer refresh all
+        # read its observation row from the tracking thread (the reference
+        # culls from the LocalMapping thread too but its Tracking re-reads
+        # mpReferenceKF through a shared pointer that SetBadFlag leaves
+        # readable; here a culled slot is recycled).
+        self.local_mapper.protected_kf = lambda: self.tracker.ref_kf
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
             self.loop_closer.runner = self.runner

@@ -185,7 +185,7 @@ def _initial_ba(cam_poses, cam_free, points, point_valid, obs_cam, obs_point,
 
 def _local_map_stages(m, feat, frame_is2, pose, track_pt, fallback,
                       local_ids, local_mask, intr, scale_factor, n_levels,
-                      wh, opt_cfg):
+                      wh, opt_cfg, frame_ur=None, bf=0.0, weak=False):
     """TrackLocalMap as TWO match->optimize iterations inside one program.
 
     Iteration 1 searches with the standard radius (wide when ``fallback`` —
@@ -206,7 +206,11 @@ def _local_map_stages(m, feat, frame_is2, pose, track_pt, fallback,
     l_norm = m.pt_normal[local_ids]
     dist_lm = matching.hamming_matrix(l_desc, feat.desc)
 
-    radius1 = jnp.where(fallback, 24.0, 4.0)
+    # Adaptive window: full-wide on hard fallback; mid-wide when the motion
+    # stage was weak (prediction error grows exactly when inliers are few —
+    # the reference doubles its search window after relocalization/weak
+    # tracking the same way, ORBmatcher th=2*, Tracking.cc:950-960).
+    radius1 = jnp.where(fallback, 24.0, jnp.where(weak, 8.0, 4.0))
     max_d1 = jnp.where(fallback, 100.0, 50.0)
     ok_f = jnp.zeros(local_ids.shape, bool)
     for radius_base, max_dist in ((radius1, max_d1), (4.0, 50.0)):
@@ -236,12 +240,14 @@ def _local_map_stages(m, feat, frame_is2, pose, track_pt, fallback,
         track_pt = track_pt.at[tgt_l].set(
             jnp.where(can_bind, local_ids, -1).astype(jnp.int32), mode="drop"
         )
-        # Pose GN over every binding; outliers unbind.
+        # Pose GN over every binding; outliers unbind.  Stereo rows
+        # (frame_ur) add the uR residual with the stereo chi2 threshold
+        # (Optimizer.cc:326-373), exactly like the slow path's final GN.
         bound2 = track_pt >= 0
         sel_pt = jnp.clip(track_pt, 0, M - 1)
         res = pose_opt.optimize_pose(
             pose, m.pt_xyz[sel_pt], feat.uv_und, frame_is2, bound2, intr,
-            **_pose_opt_kw(opt_cfg),
+            ur_obs=frame_ur, bf=bf, **_pose_opt_kw(opt_cfg),
         )
         pose = res.pose
         track_pt = jnp.where(res.inliers | ~bound2, track_pt, -1)
@@ -290,8 +296,6 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     """
     from orb_slam_free_space_carving_tpu.ops import orb as orb_ops
 
-    M = m.pt_xyz.shape[0]
-
     # --- frame build
     feat = orb_ops.extract_features(img_u8, orb_cfg)
     if has_distortion:
@@ -300,6 +304,54 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
         uv_und = feat.xy
     feat = feat._replace(uv_und=uv_und)
     frame_is2 = inv_sigma2_by_level[jnp.clip(feat.octave, 0, n_levels - 1)]
+    return _track_core(
+        m, feat, frame_is2, last_pose, velocity, last_track_pt, last_octave,
+        local_ids, local_mask, intr, pt_visible, pt_found,
+        scale_factor, n_levels, wh, radius_motion, opt_cfg, min_matches,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale_factor", "n_levels", "wh", "radius_motion",
+                     "opt_cfg", "min_matches", "bf", "th_depth"),
+)
+def _fused_track_step_frame(m, feat, frame_is2, frame_ur, frame_depth,
+                            last_pose, velocity, last_track_pt, last_octave,
+                            local_ids, local_mask, intr, pt_visible, pt_found,
+                            scale_factor, n_levels, wh, radius_motion,
+                            opt_cfg=None, min_matches=10, bf=0.0,
+                            th_depth=0.0):
+    """Fused per-frame hot path over an ALREADY-BUILT frame (stereo/RGB-D):
+    same motion -> local-map -> counters chain as :func:`_fused_track_step`
+    with the stereo uR residual rows in every pose GN, plus the close-point
+    pressure counts the stereo keyframe policy needs (Tracking.cc:1010-1026)
+    computed in-program so the lagged decision readback stays scalar.
+
+    Returns (pose, track_pt, n_inliers, velocity, pt_visible', pt_found',
+    tracked_close, untracked_close).
+    """
+    (pose, track_pt, n_inliers, velocity, pt_visible, pt_found
+     ) = _track_core(
+        m, feat, frame_is2, last_pose, velocity, last_track_pt, last_octave,
+        local_ids, local_mask, intr, pt_visible, pt_found,
+        scale_factor, n_levels, wh, radius_motion, opt_cfg, min_matches,
+        frame_ur=frame_ur, bf=bf,
+    )[2:]
+    close = (frame_depth > 0) & (frame_depth < th_depth) & feat.valid
+    tracked_close = jnp.sum(close & (track_pt >= 0))
+    untracked_close = jnp.sum(close & (track_pt < 0))
+    return (pose, track_pt, n_inliers, velocity, pt_visible, pt_found,
+            tracked_close, untracked_close)
+
+
+def _track_core(m, feat, frame_is2, last_pose, velocity, last_track_pt,
+                last_octave, local_ids, local_mask, intr, pt_visible,
+                pt_found, scale_factor, n_levels, wh, radius_motion,
+                opt_cfg, min_matches, frame_ur=None, bf=0.0):
+    """Motion-model + local-map tracking core shared by the mono and
+    stereo/RGB-D fused steps (everything below extraction)."""
+    M = m.pt_xyz.shape[0]
 
     # --- motion model match + pose GN
     pose_pred = lie.se3_compose(velocity, last_pose)
@@ -324,7 +376,9 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     sel_feat = jnp.clip(idx_m, 0, feat.capacity - 1)
     res1 = pose_opt.optimize_pose(
         pose_pred, pt_xyz, feat.uv_und[sel_feat], frame_is2[sel_feat],
-        matched_m, intr, **_pose_opt_kw(opt_cfg),
+        matched_m, intr,
+        ur_obs=None if frame_ur is None else frame_ur[sel_feat], bf=bf,
+        **_pose_opt_kw(opt_cfg),
     )
 
     # In-program fallback decision (Tracking.cc:334-352 semantics): too few
@@ -342,10 +396,13 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     )
     track_pt = jnp.where(track_pt == M, -1, track_pt)
 
-    # --- local map: two match->optimize iterations (wide on fallback)
+    # --- local map: two match->optimize iterations (wide on fallback,
+    # mid-wide when motion inliers were thin)
+    weak = res1.n_inliers < 60
     pose, track_pt, n_inliers, ok_f = _local_map_stages(
         m, feat, frame_is2, pose, track_pt, ~ok_motion,
         local_ids, local_mask, intr, scale_factor, n_levels, wh, opt_cfg,
+        frame_ur=frame_ur, bf=bf, weak=weak,
     )
 
     # --- counters: visible (in frustum) & found (tracked) per local point
@@ -359,6 +416,20 @@ def _fused_track_step(m, img_u8, last_pose, velocity, last_track_pt,
     velocity = lie.se3_compose(pose, lie.se3_inverse(last_pose))
     return (feat, frame_is2, pose, track_pt, n_inliers, velocity,
             pt_visible, pt_found)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _nearby_point_ids(pt_xyz, pt_valid, pose, cap):
+    """Top-``cap`` valid map points nearest the camera center — the buffer
+    fallback when covisibility rows are thin (async keyframe bursts leave
+    observation rows sparse until triangulation/fuse land; a 57-point buffer
+    on a 1000-point map was the measured recovery killer)."""
+    center = lie.se3_inverse(pose)[4:7]
+    d = jnp.linalg.norm(pt_xyz - center[None, :], axis=-1)
+    d = jnp.where(pt_valid, d, jnp.inf)
+    _, ids = jax.lax.top_k(-d, cap)
+    ids = ids.astype(jnp.int32)
+    return ids, pt_valid[ids]
 
 
 @functools.partial(
@@ -380,6 +451,7 @@ def _fused_recover_step(m, feat, frame_is2, seed_pose, local_ids, local_mask,
     pose, track_pt, n_inliers, _ = _local_map_stages(
         m, feat, frame_is2, seed_pose, track_pt, jnp.bool_(True),
         local_ids, local_mask, intr, scale_factor, n_levels, wh, opt_cfg,
+        weak=jnp.bool_(True),
     )
     return pose, track_pt, n_inliers
 
@@ -438,6 +510,15 @@ class Tracker:
         )
         self._force_slow = False
         self._stale_pending = 0
+        self._degraded = 0       # consecutive low-inlier frames (async bridge)
+        self._reloc_fails = 0    # consecutive failed reloc attempts (backoff)
+        # The degraded bridge only exists to span ASYNC worker lag; in
+        # deterministic mode mapping is inline (no lag) and the reference's
+        # immediate <30 -> LOST semantics hold (tests rely on them).
+        self._degraded_budget = (
+            cfg.tracking.max_degraded_frames
+            if runner is not None and not runner.deterministic else 0
+        )
         # Pose of the most recent frame whose inlier decision confirmed OK:
         # the seed for same-frame fallback re-tracking when a lagged decision
         # discovers a failure (reference Tracking.cc:334-352 falls back to
@@ -458,6 +539,12 @@ class Tracker:
         self._track_pt_dev = None            # [N] int32 on device
         self._inv_sigma2_lv = jnp.asarray(
             1.0 / np.array(cfg.orb.level_sigma2, np.float32)
+        )
+        # Fused-path optimizer budget (see OptimizerConfig.pose_iterations_fused).
+        import dataclasses
+
+        self._fused_opt_cfg = dataclasses.replace(
+            cfg.optimizer, pose_iterations=cfg.optimizer.pose_iterations_fused
         )
 
     @property
@@ -561,16 +648,92 @@ class Tracker:
         return self._track_with_depth(frame, timestamp)
 
     def _track_with_depth(self, frame: FrameData, timestamp: float):
+        """Stereo/RGB-D per-frame entry: the same async fused fast path as
+        monocular (frame build = 1 dispatch, tracking = 1 dispatch, lagged
+        scalar decisions) with stereo uR residuals and in-program close-point
+        counts; falls back to the host-orchestrated slow path on trouble."""
+        self.host.drain_ctr_merges()
+        if self._map_jump_kf >= 0:
+            jump_kf, self._map_jump_kf = self._map_jump_kf, -1
+            self._pending = []
+            if self.last_frame is not None:
+                self.last_frame = self.last_frame._replace(
+                    pose=self.m.kf_pose[jump_kf]
+                )
+            self.velocity = None
+            self._velocity_dev = None
+            self._force_slow = True
+
+        have_vel = self._velocity_dev is not None or self.velocity is not None
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self._flush_pending()
             self._stereo_initialization(frame, timestamp)
+        elif (self.state == OK and have_vel
+              and self._track_pt_dev is not None and not self._force_slow):
+            self._track_frame_fast_depth(frame, timestamp)
         else:
-            self._track_frame(frame, timestamp)
-        pose = np.asarray(
+            with timing.span("track.slow_path"):
+                self._flush_pending()
+                self._force_slow = False
+                self._track_frame(frame, timestamp)
+
+        if (self.state == LOST and self.reset_cb is not None
+                and self.cfg.tracking.reset_on_early_lost
+                and not self.only_tracking
+                and int(self.host.kf_valid.sum()) <= 5):
+            self.trajectory.append((timestamp, lie.se3_identity(), LOST))
+            self.reset_cb()
+            return np.asarray(lie.se3_identity())
+
+        pose = (
             self.last_frame.pose if self.last_frame is not None
             else lie.se3_identity()
         )
-        self.trajectory.append((timestamp, pose.copy(), self.state))
+        self.trajectory.append((timestamp, pose, self.state))
         return pose
+
+    def _track_frame_fast_depth(self, frame: FrameData, timestamp: float):
+        if self._velocity_dev is None:
+            self._velocity_dev = jnp.asarray(self.velocity)
+        t0 = _pc()
+        (pose, track_pt, n_inl, vel, ctr_vis, ctr_fnd, tc, uc
+         ) = _fused_track_step_frame(
+            self.m, frame.feat, frame.inv_sigma2, frame.u_right, frame.depth,
+            self.last_frame.pose, self._velocity_dev, self._track_pt_dev,
+            self.last_frame.feat.octave, self._local_ids, self._local_mask,
+            self.intr, self.host.ctr_visible, self.host.ctr_found,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
+            self.cfg.matcher.search_radius_motion,
+            opt_cfg=self._fused_opt_cfg,
+            min_matches=self.cfg.tracking.min_matches_track,
+            bf=self.cfg.camera.bf, th_depth=self.cfg.camera.th_depth_m,
+        )
+        timing.add("track.fast_dispatch", _pc() - t0)
+        timing.count("dispatch.track_fast_depth", 2)
+        try:
+            n_inl.copy_to_host_async()
+            track_pt.copy_to_host_async()
+        except Exception:
+            pass
+        frame = frame._replace(pose=pose)
+
+        self.host.ctr_visible = ctr_vis
+        self.host.ctr_found = ctr_fnd
+        self._velocity_dev = vel
+        self._track_pt_dev = track_pt
+        self.last_frame = frame
+
+        self._pending.append(
+            (frame, track_pt, n_inl, timestamp, self.frame_idx, (tc, uc))
+        )
+        with timing.span("track.finalize"):
+            while self._pending and (
+                len(self._pending) >= self._decision_batch
+                or _array_is_ready(self._pending[0][2])
+            ):
+                self._finalize_pending(self._pending.pop(0))
+                if self._force_slow:
+                    break
 
     def _stereo_initialization(self, frame: FrameData, timestamp: float):
         """StereoInitialization (Tracking.cc:518-570): with >=500 features the
@@ -666,7 +829,7 @@ class Tracker:
             self.host.ctr_visible, self.host.ctr_found,
             self.cfg.orb, self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
             self.wh, self.cfg.matcher.search_radius_motion,
-            self.cfg.camera.has_distortion, opt_cfg=self.cfg.optimizer,
+            self.cfg.camera.has_distortion, opt_cfg=self._fused_opt_cfg,
             min_matches=self.cfg.tracking.min_matches_track,
         )
         timing.add("track.fast_dispatch", _pc() - t0)
@@ -677,6 +840,10 @@ class Tracker:
         timing.count("dispatch.track_fast", 2)
         try:
             n_inl.copy_to_host_async()
+            # Keyframe creation pulls track_pt on the host; starting the
+            # copy now means the pull doesn't stall behind queued compute
+            # (~45 ms measured on the tunnel).
+            track_pt.copy_to_host_async()
         except Exception:
             pass
         frame = FrameData(feat=feat, pose=pose, inv_sigma2=frame_is2)
@@ -690,7 +857,7 @@ class Tracker:
         self.last_frame = frame
 
         self._pending.append(
-            (frame, track_pt, n_inl, timestamp, self.frame_idx)
+            (frame, track_pt, n_inl, timestamp, self.frame_idx, None)
         )
         # Finalize every pending frame whose inlier readback has already
         # landed (is_ready() => int() is free): in practice the async copy
@@ -709,17 +876,28 @@ class Tracker:
     def _finalize_pending(self, pending):
         """Apply the lagged per-frame decisions (tracking health + keyframe
         policy) for a previously dispatched frame."""
-        frame, track_pt, n_inl, timestamp, frame_idx = pending
+        frame, track_pt, n_inl, timestamp, frame_idx, close = pending
         n = int(n_inl)           # transfer started last frame; ~0 wait
-        if n < self.cfg.tracking.min_matches_track_localmap:
-            # The fused dispatch failed for this frame.  The reference falls
-            # back to reference-KF tracking WITHIN the same frame
-            # (Tracking.cc:334-352); with pipelined decisions the frame data
-            # is still held here, so re-track it now from the last pose the
-            # decision loop confirmed good (the optimistically-advanced chain
-            # after a failure is garbage and must not seed anything).
+        tcfg = self.cfg.tracking
+        if n < tcfg.min_matches_track:
+            # The fused dispatch (incl. its in-program wide fallback) failed
+            # hard.  The reference falls back to reference-KF tracking WITHIN
+            # the same frame (Tracking.cc:334-352); with pipelined decisions
+            # the frame data is still held here, so re-track it now from the
+            # last pose the decision loop confirmed good.
             self._recover_pending(frame, timestamp, frame_idx)
             return
+        if n < tcfg.min_matches_track_localmap:
+            # Degraded bridge (see TrackingConfig.max_degraded_frames): the
+            # pose is still well-constrained; keep tracking while the worker
+            # catches up with triangulation for the new viewpoint.
+            self._degraded += 1
+            timing.count("track.degraded")
+            if self._degraded > self._degraded_budget:
+                self._recover_pending(frame, timestamp, frame_idx)
+                return
+        else:
+            self._degraded = 0
         self.state = OK
         self.n_tracked = n
         self._last_good_pose = frame.pose
@@ -742,7 +920,10 @@ class Tracker:
                 self._local_ids_np, self._local_mask_np = ids, msk
                 self._local_ids = jnp.asarray(ids)
                 self._local_mask = jnp.asarray(msk)
-        if self._need_new_keyframe(n):
+        close_counts = None
+        if close is not None:
+            close_counts = (int(close[0]), int(close[1]))
+        if self._need_new_keyframe(n, close_counts=close_counts):
             with timing.span("track.create_kf"):
                 # track_pt stays on device: the worker pulls it when it
                 # processes the keyframe, so the tracking thread never waits
@@ -769,7 +950,7 @@ class Tracker:
         timing.count("track.recover_chain")
         self._refresh_local_points()
         chain = [(frame, timestamp, frame_idx)]
-        chain += [(f, ts, fi) for (f, _tp, _n, ts, fi) in self._pending]
+        chain += [(f, ts, fi) for (f, _tp, _n, ts, fi, _c) in self._pending]
         self._pending = []
         seed = self._last_good_pose
         if seed is None and self.last_frame is not None:
@@ -780,13 +961,91 @@ class Tracker:
                 self.m, f.feat, f.inv_sigma2, prev_pose,
                 self._local_ids, self._local_mask, self.intr,
                 self.cfg.orb.scale_factor, self.cfg.orb.n_levels, self.wh,
-                opt_cfg=self.cfg.optimizer,
+                opt_cfg=self._fused_opt_cfg,
             )
             timing.count("dispatch.track_recover")
             n2 = int(n_inl)
-            if n2 < self.cfg.tracking.min_matches_track_localmap:
+            if n2 >= self.cfg.tracking.min_matches_track_localmap:
+                self._degraded = 0
+            elif (n2 >= self.cfg.tracking.min_matches_track
+                    and self._degraded <= self._degraded_budget):
+                # Recovered into the degraded band: bridge (see
+                # _finalize_pending) instead of LOST.
+                self._degraded += 1
+                timing.count("track.degraded")
+            if n2 < self.cfg.tracking.min_matches_track:
+                # Last resort before LOST: full relocalization on this frame
+                # (the BoW database covers the CURRENT place — when tracking
+                # collapses from accumulated drift rather than occlusion,
+                # reloc re-anchors in one shot instead of waiting out a
+                # revisit).  Features are already extracted.
+                if self.relocalizer is not None:
+                    r_ok, r_tp, r_pose = self.relocalizer.relocalize(f)
+                    if r_ok:
+                        timing.count("recover.via_reloc")
+                        pose2, tp2, n3 = _fused_recover_step(
+                            self.m, f.feat, f.inv_sigma2, jnp.asarray(r_pose),
+                            self._local_ids, self._local_mask, self.intr,
+                            self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+                            self.wh, opt_cfg=self._fused_opt_cfg,
+                        )
+                        if int(n3) >= self.cfg.tracking.min_matches_track:
+                            pose, track_pt, n2 = pose2, tp2, int(n3)
+                            self._degraded += 1
+                            # The chain's previous pose is pre-jump: velocity
+                            # across it would catapult the next prediction.
+                            prev_pose = None
+                            self._velocity_dev = None
+                            self.velocity = None
+                            # Re-anchor ref_kf on the relocalized place.
+                            tp_np = np.asarray(tp2)
+                            seen = tp_np[tp_np >= 0]
+                            if seen.size:
+                                from orb_slam_free_space_carving_tpu.runtime \
+                                    import mapstore
+
+                                hits = mapstore.kfs_observing(
+                                    self.host.obs_pt[: self.host.n_kf_slots],
+                                    self.host.kf_valid[: self.host.n_kf_slots]
+                                    .astype(np.uint8),
+                                    seen.astype(np.int32),
+                                    self.cfg.capacity.max_points, cap=1,
+                                )
+                                if hits.size:
+                                    self.ref_kf = int(hits[0])
+                                    self._ref_kf_frame = None
+                            self._refresh_local_points()
+            if n2 < self.cfg.tracking.min_matches_track or (
+                    n2 < self.cfg.tracking.min_matches_track_localmap
+                    and self._degraded > self._degraded_budget):
                 # Unrecoverable: LOST from this frame on; the slow path
                 # (relocalization) takes over at the next track() call.
+                timing.count("recover.lost")
+                import os as _os
+
+                if _os.environ.get("OSFSC_DEBUG"):
+                    import sys as _sys
+
+                    seedp = prev_pose if prev_pose is not None else f.pose
+                    ids = self._local_ids
+                    msk = np.asarray(self._local_mask)
+                    ok_f, uv_l, z_l, d_l, _ = camera.in_frustum(
+                        self.m.pt_xyz[ids], jnp.asarray(seedp), self.intr,
+                        self.wh[0], self.wh[1],
+                    )
+                    okf = np.asarray(ok_f) & msk & np.asarray(
+                        self.m.pt_valid[ids])
+                    dist = matching.hamming_matrix(
+                        self.m.pt_desc[ids], f.feat.desc)
+                    dmin = np.asarray(jnp.min(jnp.where(
+                        jnp.asarray(okf)[:, None] & f.feat.valid[None, :],
+                        dist, 1e9), axis=1))
+                    close = dmin[okf] <= 50 if okf.any() else np.zeros(0)
+                    print(f"[osfsc] recover LOST at frame {fi}: n={n2}, "
+                          f"kfs={int(self.host.kf_valid.sum())} "
+                          f"buf={int(msk.sum())} infrustum={int(okf.sum())} "
+                          f"descmatch<=50={int(close.sum())}",
+                          file=_sys.stderr, flush=True)
                 self.state = LOST
                 for (_f2, _ts2, fi2) in chain[i:]:
                     if fi2 < len(self.trajectory):
@@ -847,6 +1106,7 @@ class Tracker:
             for j in self.host.covisible_keyframes(int(k), 5, min_weight=1):
                 more.add(int(j))
         kfs |= more
+        kfs |= set(self._recent_kf_slots(5))
         kfs = list(kfs)[: self.cfg.tracking.local_map_max_keyframes]
         from orb_slam_free_space_carving_tpu.runtime import mapstore
 
@@ -854,6 +1114,19 @@ class Tracker:
             self.host.obs_pt, np.asarray(kfs, np.int32),
             self.host.pt_valid, LOCAL_POINTS_CAP,
         )
+        if (ids.size < 300 and self.last_frame is not None
+                and int(self.host.pt_valid.sum()) > ids.size):
+            # Thin covisibility rows (see _nearby_point_ids): fill the buffer
+            # with the nearest valid map points instead.
+            nid, nmask = _nearby_point_ids(
+                self.m.pt_xyz, self.m.pt_valid, self.last_frame.pose,
+                LOCAL_POINTS_CAP,
+            )
+            self._local_ids = nid
+            self._local_mask = nmask
+            self._local_ids_np = np.asarray(nid)
+            self._local_mask_np = np.asarray(nmask)
+            return
         out = np.zeros(LOCAL_POINTS_CAP, np.int32)
         msk = np.zeros(LOCAL_POINTS_CAP, bool)
         out[: ids.size] = ids
@@ -1112,6 +1385,7 @@ class Tracker:
         tcfg = self.cfg.tracking
         m = self.m
         tracked_ok = False
+        was_reloc = False
         track_pt = np.full(frame.feat.capacity, -1, np.int32)
 
         if self.state == OK:
@@ -1125,9 +1399,14 @@ class Tracker:
                     timing.count("slow.refkf_fail")
         if self.state == LOST or not tracked_ok:
             reloc_ok = False
-            if self.relocalizer is not None:
+            # Backoff on long-lost stretches: after 20 consecutive failures
+            # the camera is far from the map (a failed attempt costs a full
+            # fused reloc program); try every other frame until one lands.
+            skip = (self._reloc_fails > 20 and self.frame_idx % 2 == 1)
+            if self.relocalizer is not None and not skip:
                 reloc_ok, track_pt, pose = self.relocalizer.relocalize(frame)
             if not reloc_ok:
+                self._reloc_fails += 1
                 timing.count("slow.reloc_fail")
                 self.state = LOST
                 self.last_frame = frame._replace(
@@ -1136,7 +1415,9 @@ class Tracker:
                 self.velocity = None
                 return
             timing.count("slow.reloc_ok")
+            self._reloc_fails = 0
             tracked_ok = True
+            was_reloc = True
 
         frame = frame._replace(pose=pose)
 
@@ -1157,11 +1438,36 @@ class Tracker:
         self.state = OK
         self.n_tracked = n_inliers
 
-        # Constant-velocity model update (Tracking.cc:451-459).
-        if self.last_frame is not None:
+        # Constant-velocity model update (Tracking.cc:451-459).  After a
+        # relocalization the previous frame's pose belongs to the LOST era:
+        # a velocity computed across the jump catapults the next prediction
+        # (the reference clears mVelocity on reloc, Tracking.cc:1499-1504).
+        if self.last_frame is not None and not was_reloc:
             self.velocity = np.asarray(
                 lie.se3_compose(frame.pose, lie.se3_inverse(self.last_frame.pose))
             )
+        elif was_reloc:
+            self.velocity = None
+            self._velocity_dev = None
+            # Re-anchor the reference keyframe on the RELOCALIZED place: the
+            # old ref_kf views the pre-loss region, so the next frame's
+            # TrackReferenceKeyFrame would fail and ping-pong straight back
+            # into relocalization (measured: 82 reloc_ok / 80 refkf_fail at
+            # 3 fps).  The new reference = keyframe sharing the most points
+            # with this frame's bindings.
+            seen = track_pt[track_pt >= 0]
+            if seen.size:
+                from orb_slam_free_space_carving_tpu.runtime import mapstore
+
+                hits = mapstore.kfs_observing(
+                    self.host.obs_pt[: self.host.n_kf_slots],
+                    self.host.kf_valid[: self.host.n_kf_slots].astype(np.uint8),
+                    seen.astype(np.int32), self.cfg.capacity.max_points,
+                    cap=1,
+                )
+                if hits.size:
+                    self.ref_kf = int(hits[0])
+                    self._ref_kf_frame = None
 
         # Keyframe decision + creation.
         if self._need_new_keyframe(n_inliers, frame=frame, track_pt=track_pt):
@@ -1240,6 +1546,21 @@ class Tracker:
         track_pt[idx_np[ok_rows]] = pt_ids[ok_rows]
         return n >= self.cfg.tracking.min_matches_track, track_pt, pose
 
+    def _recent_kf_slots(self, n: int) -> list:
+        """Slots of the n most recently CREATED keyframes (by frame id).
+
+        The reference's UpdateLocalKeyFrames always chains in the temporal
+        neighbors of the current keyframe (Tracking.cc:1300-1317); without
+        them a reference keyframe whose observation row is still thin (young
+        keyframe, degraded bindings, or a lagging worker) yields a
+        near-empty local buffer — measured as 16-point buffers killing
+        recovery on an 87-keyframe map."""
+        valid = np.where(self.host.kf_valid)[0]
+        if valid.size == 0:
+            return []
+        order = valid[np.argsort(-self.host.kf_frame_id[valid])]
+        return [int(k) for k in order[:n]]
+
     def _local_point_ids(self, track_pt: np.ndarray) -> np.ndarray:
         """Local map point set: points of covisible KFs of the ref KF
         (UpdateLocalKeyFrames/Points, Tracking.cc:1204-1348), capacity-padded."""
@@ -1267,6 +1588,7 @@ class Tracker:
             for j in self.host.covisible_keyframes(k, 5, min_weight=1):
                 more.add(int(j))
         kfs |= more
+        kfs |= set(self._recent_kf_slots(5))
         kfs = list(kfs)[: self.cfg.tracking.local_map_max_keyframes]
         ids = np.unique(self.host.obs_pt[kfs])
         ids = ids[ids >= 0]
@@ -1338,7 +1660,8 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, n_inliers: int, frame: FrameData = None,
-                           track_pt: np.ndarray = None) -> bool:
+                           track_pt: np.ndarray = None,
+                           close_counts=None) -> bool:
         """Keyframe policy c1a|c1b|c1c & c2 (Tracking.cc:986-1070).
 
         For stereo/RGB-D frames the close-point pressure condition applies:
@@ -1363,8 +1686,14 @@ class Tracker:
 
         ref_obs = self.host.obs_pt[self.ref_kf]
         pids = ref_obs[ref_obs >= 0]
-        n_kf_total = int(self.host.kf_valid.sum())
-        min_obs = 3 if n_kf_total > 2 else 2
+        # Maturity threshold: the reference's nMinObs=3 (Tracking.cc:994-997).
+        # (Counting 2-obs points inflates n_ref toward the raw row size and
+        # makes c2 fire almost every frame — a keyframe flood whose
+        # coalesced triangulations starve the very map they should feed.
+        # The asynchronous-lag bleed-out that motivated relaxing it is
+        # covered by the rate-limited ``low_cov`` absolute trigger below.)
+        n_kf_total_ = int(self.host.kf_valid.sum())
+        min_obs = 3 if n_kf_total_ > 2 else 2
         counts = mapstore.obs_counts(
             self.host.obs_pt[: self.host.n_kf_slots],
             self.host.kf_valid[: self.host.n_kf_slots].astype(np.uint8),
@@ -1375,21 +1704,52 @@ class Tracker:
 
         need_close = False
         ratio = tcfg.kf_min_ratio_refkf
-        if frame is not None and frame.depth is not None and track_pt is not None:
+        depth_frame = False
+        if close_counts is not None:
+            # Fast path: close-point pressure counted in-program
+            # (_fused_track_step_frame), read back as scalars.
+            tracked_close, untracked_close = close_counts
+            need_close = tracked_close < 100 and untracked_close > 70
+            ratio = 0.75
+            depth_frame = True
+        elif frame is not None and frame.depth is not None \
+                and track_pt is not None:
             d = np.asarray(frame.depth)
             close = (d > 0) & (d < self.cfg.camera.th_depth_m)
             tracked_close = int((close & (track_pt >= 0)).sum())
             untracked_close = int((close & (track_pt < 0)).sum())
             need_close = tracked_close < 100 and untracked_close > 70
             ratio = 0.75
+            depth_frame = True
 
         c1a = frames_since >= tcfg.max_frames_between_kf
         c1b = frames_since >= tcfg.min_frames_between_kf and mapper_idle
         c1c = n_inliers < n_ref * 0.25 or need_close
-        if frame is None or frame.depth is None:
+        if not depth_frame:
             c1c = n_inliers < n_ref * 0.25
-        c2 = (n_inliers < n_ref * ratio or need_close) and n_inliers > 15
-        return bool((c1a or c1b or c1c) and c2)
+        # Absolute low-coverage pressure: when inliers approach the loss
+        # threshold, a keyframe (-> triangulation for the new viewpoint) is
+        # needed NO MATTER what ratio n/n_ref reads — the ratio gate is blind
+        # when the reference keyframe itself was thin (n ~ n_ref ~ 50 decays
+        # to LOST without ever tripping n < 0.9*n_ref).  Rate-limited to one
+        # every 3 frames: an unthrottled trigger floods keyframes exactly in
+        # the hard segments (every-frame KFs that all coalesce away their
+        # triangulation — starving the map it was meant to feed).
+        low_cov = (n_inliers < 2 * tcfg.min_matches_track_localmap
+                   and frames_since >= 3)
+        c2 = (n_inliers < n_ref * ratio or need_close or low_cov) \
+            and n_inliers > 15
+        decision = bool((c1a or c1b or c1c or low_cov) and c2)
+        import os as _os
+
+        if _os.environ.get("OSFSC_DEBUG") and self.frame_idx % 10 == 0:
+            import sys as _sys
+
+            print(f"[osfsc] f{self.frame_idx}: n={n_inliers} n_ref={n_ref} "
+                  f"since={frames_since} idle={mapper_idle} "
+                  f"kf={'Y' if decision else 'n'}",
+                  file=_sys.stderr, flush=True)
+        return decision
 
     def _create_new_keyframe(self, frame: FrameData, timestamp: float,
                              track_pt: np.ndarray):
@@ -1401,6 +1761,13 @@ class Tracker:
         the reference's Tracking -> LocalMapping queue hand-off
         (``LocalMapping.cc:124-129``)."""
         kf = self.host.alloc_keyframe()
+        import os as _os
+
+        if _os.environ.get("OSFSC_DEBUG"):
+            import sys as _sys
+
+            print(f"[osfsc] KF {kf} created at frame {self.frame_idx}",
+                  file=_sys.stderr, flush=True)
         new_xyz = np.zeros((0, 3))
         new_pids = np.zeros(0, np.int64)
         self.host.kf_frame_id[kf] = self.frame_idx
@@ -1411,7 +1778,6 @@ class Tracker:
 
         use_async = (
             self.runner is not None and not self.runner.deterministic
-            and frame.depth is None
         )
         if use_async:
             # The obs_pt row MUST land before the worker runs: ref-KF
@@ -1420,12 +1786,17 @@ class Tracker:
             # still holds another keyframe's bindings.  track_pt's dispatch
             # already completed (its inlier count was read), so this pull is
             # a small ready-buffer D2H copy, not a queue drain.
+            # Depth frames: close-point insertion (Tracking.cc:1098-1146)
+            # happens worker-side (None sentinel) — the new bindings reach
+            # the tracker via the local-buffer refresh a frame or two later,
+            # keeping the map write on the single-writer thread.
             track_pt_np = np.asarray(track_pt)
             self.host.obs_pt[kf] = track_pt_np
             self.last_track_pt = track_pt_np
             self.runner.submit(
                 self._process_keyframe_mapside, kf, frame, track_pt_np,
-                new_xyz, new_pids,
+                None if frame.depth is not None else new_xyz,
+                None if frame.depth is not None else new_pids,
             )
             return
 
@@ -1453,6 +1824,13 @@ class Tracker:
 
     def _process_keyframe_mapside_inner(self, kf: int, frame: FrameData,
                                         track_pt, new_xyz, new_pids):
+        if new_xyz is None:                      # async depth keyframe
+            new_xyz = np.zeros((0, 3))
+            new_pids = np.zeros(0, np.int64)
+            if frame.depth is not None:
+                track_pt, new_xyz, new_pids = self._insert_depth_points(
+                    frame, kf, np.asarray(track_pt)
+                )
         track_pt_dev = jnp.asarray(track_pt)
         track_pt = np.asarray(track_pt)          # device pull on the worker
         self.host.obs_pt[kf] = track_pt
@@ -1476,7 +1854,12 @@ class Tracker:
             self.local_mapper.on_keyframe(kf)
             if self.host.big_change_idx != big0:
                 self._on_map_jump(kf)
-        self._refresh_local_points()
+        # Under keyframe backlog the buffer refresh coalesces too — the next
+        # queued keyframe item refreshes with a fresher covisibility anyway.
+        if not (self.local_mapper is not None
+                and getattr(self.local_mapper, "_later_kf_waiting", None)
+                and self.local_mapper._later_kf_waiting()):
+            self._refresh_local_points()
 
     def _on_map_jump(self, kf: int):
         """A loop closure / global BA moved the whole map while keyframe
@@ -1547,6 +1930,6 @@ class Tracker:
         if self.local_mapper is not None:
             for pid in pids:
                 self.local_mapper.recent_points.append(
-                    (int(pid), self.local_mapper.kf_counter)
+                    (int(pid), self.local_mapper.fuse_counter)
                 )
         return track_pt, xyz_w.astype(np.float64), pids.astype(np.int64)

@@ -61,6 +61,56 @@ def compute_bounds(points: jnp.ndarray, mask: jnp.ndarray, margin: float = 1.15)
     return center - half, center + half
 
 
+def carve_votes_chunked(
+    ray_origins, ray_targets, ray_mask, lo, hi,
+    resolution: int = 128, n_samples: int = 96, weight: float = 1.0,
+    chunk: int = 2048,
+):
+    """Chunked ray-march: identical result to :func:`carve_votes`, issued as
+    ceil(B/chunk) smaller device programs that ACCUMULATE into the grids.
+
+    The single-dispatch form monopolizes the device for the whole scatter
+    (~1-2 s at bench scale on the TPU: scatter-add into a 128^3 grid is
+    serialization-bound); on the shared device that parks every tracking
+    dispatch behind it for ~20 frames and collapses the tracker.  Chunking
+    gives the scheduler preemption points between chunks at identical total
+    work."""
+    B = ray_origins.shape[0]
+    if B <= chunk:
+        return carve_votes(ray_origins, ray_targets, ray_mask, lo, hi,
+                           resolution=resolution, n_samples=n_samples,
+                           weight=weight)
+    R = resolution
+    votes = jnp.zeros((R, R, R), jnp.float32)
+    evidence = jnp.zeros((R, R, R), jnp.float32)
+    # Pad to a whole number of chunks so every dispatch shares one compile.
+    n_chunks = -(-B // chunk)
+    pad = n_chunks * chunk - B
+    if pad:
+        ray_origins = jnp.concatenate(
+            [ray_origins, jnp.zeros((pad, 3), ray_origins.dtype)])
+        ray_targets = jnp.concatenate(
+            [ray_targets, jnp.zeros((pad, 3), ray_targets.dtype)])
+        ray_mask = jnp.concatenate([ray_mask, jnp.zeros(pad, bool)])
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        votes, evidence = _carve_votes_into(
+            votes, evidence, ray_origins[sl], ray_targets[sl], ray_mask[sl],
+            lo, hi, resolution=resolution, n_samples=n_samples, weight=weight,
+        )
+    return votes, evidence
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "n_samples"),
+                   donate_argnums=(0, 1))
+def _carve_votes_into(votes0, evidence0, ray_origins, ray_targets, ray_mask,
+                      lo, hi, resolution=128, n_samples=96, weight=1.0):
+    v, e = carve_votes(ray_origins, ray_targets, ray_mask, lo, hi,
+                       resolution=resolution, n_samples=n_samples,
+                       weight=weight)
+    return votes0 + v, evidence0 + e
+
+
 @functools.partial(jax.jit, static_argnames=("resolution", "n_samples"))
 def carve_votes(
     ray_origins: jnp.ndarray,   # [B,3] camera centers per constraint
