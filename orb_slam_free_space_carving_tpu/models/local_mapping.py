@@ -340,9 +340,19 @@ class LocalMapper:
         # tracker runs faster than real time (the single device is shared:
         # every worker sync waits behind queued tracker programs, so per-KF
         # worker cost is ~0.4 s while the circuit demands ~3 KF/s).
-        if self._later_kf_waiting():
+        # Starvation bound on coalescing: the newest-KF-only rule kept the
+        # worker serviceable, but under sustained backlog it triangulated
+        # only ~1 in 9 keyframes (measured: 13 create passes for 118 KFs)
+        # and the tracker bled out as the viewpoint rotated into regions
+        # with no points yet.  Force a pass every 3rd keyframe regardless
+        # of backlog — the map's freshness is worth one 0.4 s stall.
+        force_create = (
+            self.kf_counter - getattr(self, "_last_create_counter", 0) >= 3
+        )
+        if self._later_kf_waiting() and not force_create:
             timing.count("worker.kf_coalesced")
         else:
+            self._last_create_counter = self.kf_counter
             with timing.span("worker.cull_points"):
                 self._cull_recent_points(kf)
             with timing.span("worker.create_points"):
@@ -655,24 +665,21 @@ class LocalMapper:
             )
         ]
         free_set = set(free_kfs)
-        # Points seen by the window.
-        pt_set = set()
-        for k in free_kfs:
-            o = self.host.obs_pt[k]
-            pt_set.update(o[o >= 0].tolist())
-        pt_ids = np.array(sorted(pt_set), np.int64)[: cap.local_ba_points]
-        pt_set = set(pt_ids.tolist())
-        # Fixed anchors: other KFs observing those points.
-        fixed = []
-        sub = self.host.obs_pt[: self.host.n_kf_slots]
-        for k in range(self.host.n_kf_slots):
-            if k in free_set or not self.host.kf_valid[k]:
-                continue
-            o = sub[k]
-            if np.isin(o[o >= 0], pt_ids).any():
-                fixed.append(k)
-            if len(fixed) >= cap.local_ba_fixed:
-                break
+        # Points seen by the window (vectorized over the window's obs rows).
+        own_rows = self.host.obs_pt[np.asarray(free_kfs, np.int64)]
+        pt_ids = np.unique(own_rows[own_rows >= 0])[: cap.local_ba_points]
+        # Fixed anchors: other KFs observing those points — one vectorized
+        # membership test over the whole obs table instead of a per-slot
+        # np.isin loop (this assembly runs on the worker's critical path).
+        n_slots = self.host.n_kf_slots
+        sub = self.host.obs_pt[:n_slots]
+        seen = np.zeros(cap.max_points, bool)
+        seen[pt_ids] = True
+        hit_rows = (seen[sub.clip(min=0)] & (sub >= 0)).any(axis=1)
+        hit_rows &= self.host.kf_valid[:n_slots]
+        if free_set:
+            hit_rows[np.asarray(free_kfs, np.int64)] = False
+        fixed = np.where(hit_rows)[0][: cap.local_ba_fixed].tolist()
         # Keep gauge: always fix at least the two oldest in window if no anchor.
         if not fixed and len(free_kfs) > 2:
             fixed = [free_kfs[-1]]
@@ -743,7 +750,8 @@ class LocalMapper:
         obs_uv[:n_obs] = kf_uv_sel[wi, fi]
         obs_is2[:n_obs] = is2_lv[kf_oct_sel[wi, fi].clip(0, len(is2_lv) - 1)]
         obs_mask[:n_obs] = True
-        obs_src = list(zip(all_kfs_arr[wi].tolist(), fi.tolist()))
+        obs_src_k = all_kfs_arr[wi].astype(np.int32)
+        obs_src_f = fi.astype(np.int32)
 
         obs_ur = None
         if self.cfg.sensor != "monocular":
@@ -815,11 +823,11 @@ class LocalMapper:
 
         # Outlier erasure (Optimizer.cc:711-757): chi2 > 5.991 -> drop obs,
         # batched into a single device scatter.
-        chi2 = chi2_all[: len(obs_src)]
+        chi2 = chi2_all[:n_obs]
         bad = np.where(chi2 > self.cfg.optimizer.chi2_mono)[0]
         if bad.size:
-            ks = np.array([obs_src[b][0] for b in bad], np.int32)
-            fs = np.array([obs_src[b][1] for b in bad], np.int32)
+            ks = obs_src_k[bad]
+            fs = obs_src_f[bad]
             pids_bad = self.host.obs_pt[ks, fs]
             ok_rows = pids_bad >= 0
             ks, fs, pids_bad = ks[ok_rows], fs[ok_rows], pids_bad[ok_rows]

@@ -30,7 +30,7 @@ from orb_slam_free_space_carving_tpu.models.global_ba import GlobalBA
 from orb_slam_free_space_carving_tpu.ops import (
     bow, horn, matching, pnp, pose_opt, sim3opt,
 )
-from orb_slam_free_space_carving_tpu.utils import camera, lie
+from orb_slam_free_space_carving_tpu.utils import camera, lie, timing
 
 
 import functools
@@ -79,7 +79,7 @@ def _fused_relocalize(m, db_words, db_weights, bow_mask, vocab_tv, feat,
     # for any RANSAC); the node gate restores a majority-inlier match set.
     _, fnode = bow.tree_words_nodes(feat.desc, feat.valid, vocab_tv, levels)
 
-    def per_cand(desc_c, valid_c, xyz_c, k):
+    def per_cand(desc_c, valid_c, xyz_c, k, kf_pose_c):
         _, pnode = bow.tree_words_nodes(desc_c, valid_c, vocab_tv, levels)
         dist = matching.hamming_matrix(desc_c, feat.desc)
         mask = valid_c[:, None] & feat.valid[None, :] \
@@ -100,7 +100,34 @@ def _fused_relocalize(m, db_words, db_weights, bow_mask, vocab_tv, feat,
         # reloc program; 8x512 compiles and runs clean.)
         res = pnp.solve_pnp_ransac(
             xyz_c, uv, matched, intr, k, n_samples=512,
-            min_inliers=min_inliers
+            min_inliers=min_inliers, match_dist=best,
+        )
+        # Pose-seeded alternative: GN from the CANDIDATE KEYFRAME's own pose
+        # with projection-window matches.  On self-similar texture the BoW
+        # match set is mostly aliases (measured: 95 node-gated matches, ~0
+        # geometric inliers) and no RANSAC can save it — but a lost camera
+        # is usually NEAR the place it recognized, so projecting the
+        # candidate's points from the candidate's pose and window-matching
+        # sidesteps descriptor ambiguity with geometry.  The better of the
+        # two poses feeds the guided stage below.
+        xck = lie.se3_apply(kf_pose_c, xyz_c)
+        uvk = camera.project(xck, intr)
+        visk = (xck[..., 2] > 0.05) & valid_c
+        wmk = matching.window_mask(uvk, feat.uv_und, 32.0, visk, feat.valid)
+        idxk, bestk = matching.masked_match(dist, wmk, max_dist=80.0)
+        idxk = matching._dedup_targets(idxk, bestk, Mf)
+        mk = idxk >= 0
+        selk = jnp.clip(idxk, 0, Mf - 1)
+        resk = pose_opt.optimize_pose(
+            kf_pose_c, xyz_c, feat.uv_und[selk],
+            jnp.ones_like(xck[..., 0]), mk, intr,
+        )
+        seed_better = resk.n_inliers > res.n_inliers
+        res = pnp.PnPResult(
+            ok=jnp.where(seed_better, resk.n_inliers >= min_inliers, res.ok),
+            pose=jnp.where(seed_better, resk.pose, res.pose),
+            inliers=jnp.where(seed_better, resk.inliers & mk, res.inliers),
+            n_inliers=jnp.maximum(res.n_inliers, resk.n_inliers),
         )
         # Guided second stage (Tracking.cc:1442-1483): project every
         # candidate point through the RANSAC pose, window-match (reusing the
@@ -131,7 +158,9 @@ def _fused_relocalize(m, db_words, db_weights, bow_mask, vocab_tv, feat,
         return idx_out, jnp.sum(matched2), final
 
     keys = jax.random.split(key, n_cands)
-    idx_c, n_match_c, res_c = jax.vmap(per_cand)(pdesc, pvalid, pxyz, keys)
+    idx_c, n_match_c, res_c = jax.vmap(per_cand)(
+        pdesc, pvalid, pxyz, keys, m.kf_pose[top_kf]
+    )
 
     # Reference gates: candidate must have >=15 BoW matches (:1389-1399) and
     # a positive similarity score; take the first success in score order.
@@ -280,14 +309,17 @@ class LoopCloser:
         # loop (LoopClosing.cc:110 mLastLoopKFid+10) — compared on MONOTONIC
         # creation sequence numbers, not reusable slot indices.
         if n_kf < 10 or host.kf_seq[kf] < 10:
+            timing.count("loop.gate_young")
             return
         if host.kf_seq[kf] - self.last_loop_seq < 10:
+            timing.count("loop.gate_recent_loop")
             return
         # Cooldown after a round of FAILED Sim3 attempts: retrying the same
         # (still-consistent) candidates every keyframe costs ~1 s each on a
         # busy device queue; the reference affords per-KF retries because its
         # EPnP/Sim3 attempts are sub-ms (LoopClosing.cc:263-343).
         if host.kf_seq[kf] - getattr(self, "_sim3_fail_seq", -10**9) < 3:
+            timing.count("loop.gate_cooldown")
             return
 
         covis = host.covisible_keyframes(kf, 30, min_weight=15)
@@ -306,6 +338,7 @@ class LoopCloser:
             < recent_w
         cand_mask[recent[: len(cand_mask)]] = False
         if not cand_mask.any():
+            timing.count("loop.no_candidates")
             return
 
         scores = np.asarray(bow.sparse_l1_scores(
@@ -318,12 +351,14 @@ class LoopCloser:
             vec, self.db_words, self.db_weights, jnp.asarray(cand_mask)
         ))
         if cw.max() <= 0:
+            timing.count("loop.no_common_words")
             return
         ok = cand_mask & (scores >= min_score) & (
             cw > self.cfg.loop.min_common_words_ratio * cw.max()
         )
         cand = np.where(ok)[0]
         if cand.size == 0:
+            timing.count("loop.score_gate")
             self.consistent_groups = []
             return
 
@@ -353,6 +388,7 @@ class LoopCloser:
         cand = np.unique(np.concatenate([lead[keep], top_raw]))
         cand = cand[cand_mask[cand]]
         if cand.size == 0:
+            timing.count("loop.group_gate")
             self.consistent_groups = []
             return
         cand = cand[np.argsort(-scores[cand])]
@@ -372,6 +408,7 @@ class LoopCloser:
                 enough.append(int(c))
         self.consistent_groups = new_groups
         if not enough:
+            timing.count("loop.not_consistent")
             return
 
         # Try the best consistent candidates (the reference's ComputeSim3
@@ -379,10 +416,12 @@ class LoopCloser:
         # 263-343; capped at 3 per keyframe here — each attempt is a chain
         # of full device programs — with the failed-round cooldown above).
         for cand_kf in enough[: min(3, self.cfg.capacity.loop_candidates)]:
+            timing.count("loop.sim3_try")
             if self._compute_sim3_and_correct(kf, cand_kf):
                 self.last_loop_seq = int(self.host.kf_seq[kf])
                 self.consistent_groups = []
                 return
+            timing.count("loop.sim3_fail")
         self._sim3_fail_seq = int(self.host.kf_seq[kf])
 
     # ------------------------------------------------------------------

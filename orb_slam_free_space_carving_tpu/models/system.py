@@ -93,6 +93,7 @@ class System:
         self.localization_only = False
         self._prev_img = None
         self._prev_tex_kf = -1
+        self._carve_poll_pending = False
 
         # Streaming + observability (runtime/streaming.py): pose/mesh/status
         # pub-sub (the ROS publisher analog, ros_mono.cc:80-146) and live
@@ -165,12 +166,23 @@ class System:
                                    priority=self.runner.DEFERRED)
             # Carving rides the deferred lane (the reference's Modeler
             # thread also lags its transcript under load and recomputes on
-            # the >=5s throttle); poll() reads keyframe counts from host
-            # state, so skipped submissions are caught up by the next one
-            # and by finalize().
-            if kf_recent and self.runner.backlog(self.runner.DEFERRED) <= 1:
-                self.runner.submit(self.carver.poll,
-                                   priority=self.runner.DEFERRED)
+            # the >=5s throttle).  One poll is kept in flight at a time:
+            # the old backlog<=1 gate starved carving entirely, because
+            # keyframes (the only time kf_recent holds) are exactly when
+            # BA/fuse work sits on the deferred lane — measured 3 mesh
+            # updates over 63 keyframes at mesh_every_kfs=2.  poll() itself
+            # enforces the keyframe/time cadence, so an extra submission
+            # no-ops.
+            if kf_recent and not self._carve_poll_pending:
+                self._carve_poll_pending = True
+
+                def _poll_job():
+                    try:
+                        self.carver.poll()
+                    finally:
+                        self._carve_poll_pending = False
+
+                self.runner.submit(_poll_job, priority=self.runner.DEFERRED)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float) -> np.ndarray:

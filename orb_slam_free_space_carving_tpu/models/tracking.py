@@ -128,7 +128,7 @@ def _track_localmap_step(pose, pt_xyz, pt_desc, pt_mask, pt_maxdist, pt_normal,
     idx, _ = matching.search_by_projection_points(
         uv, pred_level, pt_desc, vis, frame_feat,
         radius_base=4.0, scale_factor=scale_factor,
-        max_dist=50.0, ratio=0.8,
+        max_dist=50.0, ratio=0.9,
     )
     # Merge: features already bound to a tracked point keep their binding.
     feat_has_pt = cur_track_pt >= 0
@@ -231,8 +231,14 @@ def _local_map_stages(m, feat, frame_is2, pose, track_pt, fallback,
         mask_l = matching.window_mask(uv_l, feat.uv_und, radii_l, vis_l,
                                       feat.valid & feat_free)
         mask_l = mask_l & matching.octave_mask(pred_lv, feat.octave, -1, 1)
+        # Same-level-only Lowe ratio at 0.9 (ORBmatcher.cc:90-105 + the
+        # tracking matcher's mfNNratio, Tracking.cc:330): blanket 0.8
+        # collapsed the local-map match set to ~20% on the repetitive-
+        # texture benchmark scenes and was the root cause of the
+        # mid-sequence tracking deaths.
         idx_l, best_l = matching.masked_match(
-            dist_lm, mask_l, max_dist=max_dist, ratio=0.8
+            dist_lm, mask_l, max_dist=max_dist, ratio=0.9,
+            oct_b=feat.octave,
         )
         idx_l = matching._dedup_targets(idx_l, best_l, feat.capacity)
         can_bind = idx_l >= 0
@@ -370,7 +376,8 @@ def _track_core(m, feat, frame_is2, last_pose, velocity, last_track_pt,
     dist_m = matching.hamming_matrix(pt_desc, feat.desc)
     mask_m = matching.window_mask(uv, feat.uv_und, radii, vis_m, feat.valid)
     mask_m = mask_m & matching.octave_mask(last_octave, feat.octave, -1, 1)
-    idx_m, best_m = matching.masked_match(dist_m, mask_m, max_dist=100.0, ratio=0.9)
+    idx_m, best_m = matching.masked_match(dist_m, mask_m, max_dist=100.0,
+                                          ratio=0.9, oct_b=feat.octave)
     idx_m = matching._dedup_targets(idx_m, best_m, feat.capacity)
     matched_m = idx_m >= 0
     sel_feat = jnp.clip(idx_m, 0, feat.capacity - 1)
@@ -1041,10 +1048,54 @@ class Tracker:
                         jnp.asarray(okf)[:, None] & f.feat.valid[None, :],
                         dist, 1e9), axis=1))
                     close = dmin[okf] <= 50 if okf.any() else np.zeros(0)
+                    # Per-gate pass counts mirroring _local_map_stages'
+                    # fallback iteration (radius 24, view_cos 0.5, octave
+                    # +-1): which gate is throwing away the matches?
+                    seedj = jnp.asarray(seedp)
+                    okn, uvl, _zl, dl, vc = camera.in_frustum(
+                        self.m.pt_xyz[ids], seedj, self.intr,
+                        self.wh[0], self.wh[1],
+                        normals_w=self.m.pt_normal[ids],
+                        view_cos_limit=0.5,
+                    )
+                    okn_np = np.asarray(okn) & okf
+                    lvl = camera.predict_scale_level(
+                        dl, self.m.pt_max_dist[ids],
+                        self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+                    radii = 24.0 * self.cfg.orb.scale_factor ** np.asarray(
+                        lvl, np.float32)
+                    wm = matching.window_mask(
+                        uvl, f.feat.uv_und, jnp.asarray(radii),
+                        jnp.asarray(okn_np), f.feat.valid)
+                    om = matching.octave_mask(lvl, f.feat.octave, -1, 1)
+                    both = np.asarray(wm)
+                    botho = both & np.asarray(om)
+                    d_w = np.where(both, np.asarray(dist), 1e9)
+                    d_wo = np.where(botho, np.asarray(dist), 1e9)
+                    # Mirror of iteration 1 of _local_map_stages (fallback):
+                    # ratio test + dedup + pose GN — which step zeroes it?
+                    idx_l, best_l = matching.masked_match(
+                        jnp.asarray(dist), jnp.asarray(botho),
+                        max_dist=100.0, ratio=0.9, oct_b=f.feat.octave)
+                    idx_l = matching._dedup_targets(
+                        idx_l, best_l, f.feat.capacity)
+                    bound = np.asarray(idx_l) >= 0
+                    sel = jnp.clip(idx_l, 0, f.feat.capacity - 1)
+                    resd = pose_opt.optimize_pose(
+                        seedj, self.m.pt_xyz[ids], f.feat.uv_und[sel],
+                        f.inv_sigma2[sel], jnp.asarray(bound), self.intr,
+                        **_pose_opt_kw(self._fused_opt_cfg),
+                    )
                     print(f"[osfsc] recover LOST at frame {fi}: n={n2}, "
                           f"kfs={int(self.host.kf_valid.sum())} "
                           f"buf={int(msk.sum())} infrustum={int(okf.sum())} "
-                          f"descmatch<=50={int(close.sum())}",
+                          f"descmatch<=50={int(close.sum())} "
+                          f"viewcos={int(okn_np.sum())} "
+                          f"window={int(both.any(1).sum())} "
+                          f"win+desc={int((d_w.min(1) <= 100).sum())} "
+                          f"win+oct+desc={int((d_wo.min(1) <= 100).sum())} "
+                          f"ratio+dedup={int(bound.sum())} "
+                          f"gn_inl={int(resd.n_inliers)}",
                           file=_sys.stderr, flush=True)
                 self.state = LOST
                 for (_f2, _ts2, fi2) in chain[i:]:
